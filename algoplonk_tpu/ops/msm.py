@@ -1,0 +1,172 @@
+"""Multi-scalar multiplication (Pippenger) on TPU.
+
+This is the north-star kernel (BASELINE.md): it replaces gnark-crypto's
+multicore bucket MSM that executes every KZG commitment inside plonk.Prove
+(reference algoplonk.go:89).
+
+TPU-first reformulation of the bucket method (SURVEY.md section 7 hard part
+#3 — "Pippenger without scatter"):
+
+* window digits (c = 8, so digits are literally scalar bytes) are sorted per
+  window — sorting turns the scatter-shaped bucket accumulation into a
+  contiguous segment problem;
+* per-bucket point lists become a dense ``[255, M]`` gather (M = max non-zero
+  bucket population, padded with the point at infinity), and bucket sums are a
+  log2(M) pairwise Jacobian tree reduction — wide, branch-free, fully batched;
+* zero digits are excluded from M so sparse scalar vectors (common for
+  selector polynomials) cost nothing;
+* windows are processed sequentially to bound HBM footprint; the final
+  suffix-sum over buckets (sum_d d * B_d) is batched across all windows.
+
+M is data-dependent: it is measured on device, pulled to host once per call,
+and rounded up to a power of two so the jitted kernel is reused across calls
+(distinct (N, M) pairs each compile once).
+
+Multi-chip: the bucket decomposition distributes over point shards, so the
+sharded MSM in parallel/msm_sharded.py runs this kernel per shard and
+jac-adds the D partial results (one tiny collective).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import CurveParams
+from .curve import CurveOps, curve_ops
+
+WINDOW_BITS = 8
+NUM_BUCKETS = (1 << WINDOW_BITS) - 1  # digit 0 excluded
+
+
+def scalar_digits(scalars, nbytes: int = 32) -> np.ndarray:
+    """Python ints -> [nw, N] uint8-in-int32 window digits, LSB window first."""
+    buf = b"".join(int(s).to_bytes(nbytes, "little") for s in scalars)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), nbytes)
+    return arr.T.astype(np.int32).copy()  # [nw, N]
+
+
+class MsmCtx:
+    def __init__(self, curve: CurveParams):
+        self.curve = curve
+        self.ops: CurveOps = curve_ops(curve)
+        self._window_fn_cache: dict[tuple[int, int], callable] = {}
+        self._max_count = jax.jit(self._max_count_impl)
+        self._suffix_combine = jax.jit(self._suffix_combine_impl)
+        self._fold_step = jax.jit(self._fold_step_impl)
+
+    # ---------------------------------------------------------------- pieces
+
+    def _max_count_impl(self, digits):
+        """Max population over all non-zero buckets of all windows.
+        digits: [nw, N] int32."""
+        sorted_d = jnp.sort(digits, axis=1)
+        # pos[:, k] = first index with digit >= k+1, for k = 0..255;
+        # diff along k gives the population of buckets 1..255.
+        edges = jnp.arange(1, (1 << WINDOW_BITS) + 1, dtype=jnp.int32)
+        pos = jax.vmap(lambda row: jnp.searchsorted(row, edges, side="left"))(
+            sorted_d
+        )
+        return jnp.max(jnp.diff(pos, axis=1))
+
+    def _window_buckets_fn(self, n: int, m: int):
+        """Jitted per-window bucket reduction for static (N, M)."""
+        key = (n, m)
+        if key in self._window_fn_cache:
+            return self._window_fn_cache[key]
+        ops = self.ops
+
+        def fn(points_pad, digits_w):
+            # points_pad: [N+1, 2, L] affine with points_pad[N] = (0,0) = inf
+            order = jnp.argsort(digits_w)
+            sorted_d = digits_w[order]
+            dvals = jnp.arange(1, 1 << WINDOW_BITS, dtype=jnp.int32)
+            left = jnp.searchsorted(sorted_d, dvals, side="left")
+            right = jnp.searchsorted(sorted_d, dvals, side="right")
+            counts = right - left                      # [255]
+            offs = jnp.arange(m, dtype=jnp.int32)
+            idx = left[:, None] + offs[None]           # [255, M]
+            valid = offs[None] < counts[:, None]
+            gidx = jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
+            pts = points_pad[gidx]                     # [255, M, 2, L]
+            jac = ops.affine_to_jac(pts)
+            mm = m
+            while mm > 1:
+                half = mm // 2
+                jac = ops.jac_add(jac[:, :half], jac[:, half : 2 * half])
+                mm = half
+            return jac[:, 0]                           # [255, 3, L]
+
+        jfn = jax.jit(fn)
+        self._window_fn_cache[key] = jfn
+        return jfn
+
+    def _suffix_combine_impl(self, buckets):
+        """sum_d d * B_d per window via running suffix sums.
+        buckets: [nw, 255, 3, L] -> [nw, 3, L]."""
+        ops = self.ops
+        nw = buckets.shape[0]
+        init = (ops.jac_infinity((nw,)), ops.jac_infinity((nw,)))
+
+        def body(i, acc):
+            running, total = acc
+            running = ops.jac_add(running, buckets[:, NUM_BUCKETS - 1 - i])
+            total = ops.jac_add(total, running)
+            return running, total
+
+        _, total = jax.lax.fori_loop(0, NUM_BUCKETS, body, init)
+        return total
+
+    def _fold_step_impl(self, acc, window_sum):
+        """acc = acc * 2^WINDOW_BITS + window_sum (Horner over windows)."""
+        for _ in range(WINDOW_BITS):
+            acc = self.ops.jac_double(acc)
+        return self.ops.jac_add(acc, window_sum)
+
+    # ------------------------------------------------------------------ API
+
+    def msm(self, points_affine, scalars) -> jnp.ndarray:
+        """MSM over G1: returns Jacobian [3, L].
+
+        points_affine: [N, 2, L] device array (Montgomery affine limbs).
+        scalars: sequence of python ints (canonical) or [nw, N] digit array.
+        """
+        n = points_affine.shape[0]
+        if isinstance(scalars, np.ndarray) and scalars.ndim == 2:
+            digits_np = scalars
+        else:
+            digits_np = scalar_digits(scalars)
+        assert digits_np.shape[1] == n
+        digits = jnp.asarray(digits_np)
+
+        max_count = int(self._max_count(digits))
+        if max_count == 0:
+            return self.ops.jac_infinity()
+        m = 1 << max(1, (max_count - 1).bit_length())
+
+        inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
+        points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
+        wfn = self._window_buckets_fn(n, m)
+
+        nw = digits.shape[0]
+        buckets = jnp.stack([wfn(points_pad, digits[w]) for w in range(nw)])
+        window_sums = self._suffix_combine(buckets)    # [nw, 3, L]
+
+        acc = self.ops.jac_infinity()
+        for w in range(nw - 1, -1, -1):
+            acc = self._fold_step(acc, window_sums[w])
+        return acc
+
+    def msm_to_affine_int(self, points_affine, scalars):
+        """Convenience: MSM -> host affine int tuple (or None)."""
+        jac = self.msm(points_affine, scalars)
+        aff = self.ops.to_affine(jac[None])
+        return self.ops.decode_affine(aff)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def msm_ctx(curve: CurveParams) -> MsmCtx:
+    return MsmCtx(curve)

@@ -1,0 +1,145 @@
+"""Polynomial / scan utilities on device: prefix products, batch inversion,
+Horner evaluation, and the KZG synthetic division (p(X) - p(z)) / (X - z).
+
+Sequential recurrences are recast as two-level blocked scans so the TPU sees
+wide batched field ops (block body vectorized over n/b lanes) plus one thin
+carry chain of length n/b — the standard way to keep a linear recurrence off
+the scalar unit.  These power the PLONK grand product and the KZG openings
+that gnark runs on multicore CPU (reference algoplonk.go:89).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.params import CurveParams
+from ..fields import limbs as limbs_mod
+from .field import FieldOps
+
+
+def _block_size(n: int) -> int:
+    b = 1 << (max(n.bit_length() - 1, 2) // 2)
+    return min(b, n)
+
+
+def prefix_products(f: FieldOps, v):
+    """Inclusive prefix products of v: out[i] = v[0] * ... * v[i].  [n, L]"""
+    n, L = v.shape
+    b = _block_size(n)
+    nb = n // b
+    assert nb * b == n, "n must be divisible by block size"
+    vb = v.reshape(nb, b, L)
+
+    # in-block inclusive prefix products (b steps, batched over nb)
+    def body(t, acc):
+        part, run = acc
+        run = f.mul(run, vb[:, t])
+        part = jax.lax.dynamic_update_index_in_dim(part, run, t, axis=1)
+        return part, run
+
+    part0 = jnp.zeros_like(vb)
+    run0 = jnp.broadcast_to(f.one, (nb, L)).astype(jnp.int32)
+    part, ends = jax.lax.fori_loop(0, b, body, (part0, run0))
+
+    # thin scan over block totals
+    def carry_body(j, acc):
+        carries, c = acc
+        carries = jax.lax.dynamic_update_index_in_dim(carries, c, j, axis=0)
+        c = f.mul(c, ends[j])
+        return carries, c
+
+    carries0 = jnp.zeros((nb, L), jnp.int32)
+    one = jnp.broadcast_to(f.one, (L,)).astype(jnp.int32)
+    carries, _ = jax.lax.fori_loop(0, nb, carry_body, (carries0, one))
+
+    out = f.mul(part, carries[:, None, :])
+    return out.reshape(n, L)
+
+
+def batch_inverse(f: FieldOps, v):
+    """Elementwise inverse via the Montgomery trick (one Fermat inversion +
+    O(n) multiplications).  inv(0) lanes return 0."""
+    n, L = v.shape
+    is_zero = f.is_zero(v)
+    v_safe = f.select(is_zero, jnp.broadcast_to(f.one, v.shape), v)
+    pre = prefix_products(f, v_safe)                     # P_i
+    suf = prefix_products(f, v_safe[::-1])[::-1]         # S_i = prod_{j>=i}
+    total_inv = f.inv(pre[-1])                           # 1 / prod all
+    # inv_i = P_{i-1} * total_inv * S_{i+1}
+    p_shift = jnp.concatenate([f.one[None], pre[:-1]], axis=0)
+    s_shift = jnp.concatenate([suf[1:], f.one[None]], axis=0)
+    inv = f.mul(f.mul(p_shift, s_shift), jnp.broadcast_to(total_inv, v.shape))
+    return f.select(is_zero, jnp.zeros_like(v), inv)
+
+
+def powers(f: FieldOps, x_limbs, n: int):
+    """[n, L] table of 1, x, x^2, ..., x^(n-1) (x a single [L] element)."""
+    v = jnp.broadcast_to(x_limbs, (n, f.L)).astype(jnp.int32)
+    v = jnp.concatenate([f.one[None], v[1:]], axis=0)
+    return prefix_products(f, v)
+
+
+def horner_scan(f: FieldOps, coeffs_desc, z_limbs):
+    """All Horner intermediates y_k = y_{k-1} * z + c_k over coeffs given in
+    DESCENDING degree order.  Returns [n, L] (y_0 .. y_{n-1});
+    y_{n-1} = p(z)."""
+    n, L = coeffs_desc.shape
+    b = _block_size(n)
+    nb = n // b
+    assert nb * b == n
+    cb = coeffs_desc.reshape(nb, b, L)
+    z = z_limbs
+
+    def body(t, acc):
+        part, run = acc
+        run = f.add(f.mul(run, jnp.broadcast_to(z, run.shape)), cb[:, t])
+        part = jax.lax.dynamic_update_index_in_dim(part, run, t, axis=1)
+        return part, run
+
+    part0 = jnp.zeros_like(cb)
+    run0 = jnp.zeros((nb, L), jnp.int32)
+    part, _ = jax.lax.fori_loop(0, b, body, (part0, run0))
+    ends = part[:, b - 1]
+
+    # carry_j = true y entering block j: carry_{j+1} = carry_j * z^b + end_j
+    zb = f.pow_fixed(z[None], b)[0] if b > 1 else z
+
+    def carry_body(j, acc):
+        carries, c = acc
+        carries = jax.lax.dynamic_update_index_in_dim(carries, c, j, axis=0)
+        c = f.add(f.mul(c, zb), ends[j])
+        return carries, c
+
+    carries0 = jnp.zeros((nb, L), jnp.int32)
+    carries, _ = jax.lax.fori_loop(
+        0, nb, carry_body, (carries0, jnp.zeros((L,), jnp.int32))
+    )
+
+    # correction: y[j, t] = part[j, t] + carry_j * z^{t+1}
+    zp = powers(f, z, b + 1)[1:]  # z^1 .. z^b  [b, L]
+    corr = f.mul(carries[:, None, :], zp[None])
+    out = f.add(part, corr)
+    return out.reshape(n, L)
+
+
+def poly_eval(f: FieldOps, coeffs, z_limbs):
+    """Evaluate polynomial (coeffs ascending) at z. Returns [L]."""
+    return horner_scan(f, coeffs[::-1], z_limbs)[-1]
+
+
+def kzg_quotient(f: FieldOps, coeffs, z_limbs):
+    """(p(X) - p(z)) / (X - z) for coeffs ascending [n, L].
+
+    Returns (q_coeffs [n, L] with top coefficient zero, p_at_z [L]).
+    q_i = Horner intermediate y_{n-2-i}.
+    """
+    n, L = coeffs.shape
+    ys = horner_scan(f, coeffs[::-1], z_limbs)
+    p_at_z = ys[-1]
+    q = ys[:-1][::-1]  # y_{n-2} ... y_0 -> q_0..q_{n-2}
+    q = jnp.concatenate([q, jnp.zeros((1, L), jnp.int32)], axis=0)
+    return q, p_at_z
