@@ -22,8 +22,10 @@ from .field import FieldOps
 
 
 def _block_size(n: int) -> int:
-    b = 1 << (max(n.bit_length() - 1, 2) // 2)
-    return min(b, n)
+    """Largest power-of-two divisor of n, capped near sqrt(n)."""
+    pow2 = n & -n  # largest power of two dividing n
+    cap = 1 << (max(n.bit_length() - 1, 2) // 2)
+    return max(1, min(pow2, cap, n))
 
 
 def prefix_products(f: FieldOps, v):
