@@ -62,8 +62,10 @@ class CompiledCircuit:
     def verify(self, assignment) -> "VerifiedProof":
         """Prove + self-verify (reference algoplonk.go:79-98: every proof is
         checked with the native verifier before export)."""
-        wit = witness_mod.solve(self.ccs, assignment)
         prover = Prover(self.pk, self.ccs)
+        wit = witness_mod.solve(
+            self.ccs, assignment, commitment_solver=prover.bsb_solver
+        )
         proof = prover.prove(wit)
         if not verify_mod.verify(self.vk, proof, wit.public_values):
             raise RuntimeError("proof failed native verification")

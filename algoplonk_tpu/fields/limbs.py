@@ -20,10 +20,23 @@ def le_bytes_needed(nlimbs: int) -> int:
     return (nlimbs * LIMB_BITS + 7) // 8
 
 
+def _native():
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:  # pragma: no cover
+        return None
+
+
 def ints_to_limbs(values: Sequence[int] | Iterable[int], fp: FieldParams) -> np.ndarray:
     """Pack python ints (canonical, NOT Montgomery) into [N, L] int32 limbs."""
     values = list(values)
     n = len(values)
+    nat = _native() if n >= 1024 else None
+    if nat is not None:
+        be = b"".join(v.to_bytes(fp.nbytes, "big") for v in values)
+        return nat.be_to_limbs12(be, fp.nbytes, fp.nlimbs)
     nbytes = le_bytes_needed(fp.nlimbs)
     buf = b"".join(v.to_bytes(nbytes, "little") for v in values)
     le = np.frombuffer(buf, dtype=np.uint8).reshape(n, nbytes).astype(np.int32)
@@ -51,7 +64,16 @@ def limbs_to_ints(limbs: np.ndarray) -> list[int]:
     """[..., L] 12-bit limbs -> flat list of python ints (row-major)."""
     arr = np.asarray(limbs)
     flat = arr.reshape(-1, arr.shape[-1])
-    shifts = [LIMB_BITS * k for k in range(arr.shape[-1])]
+    nl = arr.shape[-1]
+    nat = _native() if flat.shape[0] >= 1024 else None
+    if nat is not None:
+        nbytes = le_bytes_needed(nl)
+        be = nat.limbs12_to_be(flat, nbytes)
+        return [
+            int.from_bytes(be[i * nbytes : (i + 1) * nbytes], "big")
+            for i in range(flat.shape[0])
+        ]
+    shifts = [LIMB_BITS * k for k in range(nl)]
     out = []
     for row in flat:
         v = 0

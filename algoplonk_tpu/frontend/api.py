@@ -99,14 +99,17 @@ class Gate:
 class CommitmentInfo:
     """BSB22 commitment: committed wire variables + the commitment variable.
 
-    constraint_index: row of the commitment constraint within the internal
-    gate list (matches vk.CommitmentConstraintIndexes semantics of the
-    generated verifiers, reference templateLogicSigBN254.go:187-194).
+    constraint_index: row of the commitment-variable constraint within the
+    internal gate list (matches vk.CommitmentConstraintIndexes semantics of
+    the generated verifiers, reference templateLogicSigBN254.go:187-194).
+    linking_rows: rows where qcp_i = 1 and the committed polynomial c_i
+    carries each committed wire's value (gate: -w + qcp_i * c_i = 0).
     """
 
     committed_vars: list
     commitment_var: int
     constraint_index: int
+    linking_rows: list
 
 
 @dataclass
@@ -151,29 +154,57 @@ class API:
 
     # --------------------------------------------------------------- gates
 
-    def add(self, a, b, *rest):
-        if rest:
-            return self.add(self.add(a, b), *rest)
-        if self._is_const(a) and self._is_const(b):
-            return self._const(int(a) + int(b))
-        if self._is_const(a):
-            a, b = b, a
-        out = self._new_var()
-        if self._is_const(b):
-            c = self._const(b)
+    def add(self, *terms):
+        """Sum of variables and constants; constants fold into the first gate
+        so a k-term sum costs max(k_vars - 1, 1) gates."""
+        const = 0
+        vs = []
+        for t in terms:
+            if self._is_const(t):
+                const = (const + int(t)) % self.r
+            else:
+                vs.append(t)
+        if not vs:
+            return const
+        if len(vs) == 1:
+            if const == 0:
+                return vs[0]
+            a = vs[0]
+            out = self._new_var()
             self.gates.append(
-                Gate(ql=1, qo=self.r - 1, qc=c, l=a.idx, r=a.idx, o=out.idx)
+                Gate(ql=1, qo=self.r - 1, qc=const, l=a.idx, r=a.idx, o=out.idx)
             )
-            self.program.append(("affine", out.idx, 1, a.idx, 0, 0, c))
-        else:
+            self.program.append(("affine", out.idx, 1, a.idx, 0, 0, const))
+            return out
+        cur = vs[0]
+        for i, nxt in enumerate(vs[1:]):
+            c = const if i == 0 else 0
+            out = self._new_var()
             self.gates.append(
-                Gate(ql=1, qr=1, qo=self.r - 1, l=a.idx, r=b.idx, o=out.idx)
+                Gate(ql=1, qr=1, qo=self.r - 1, qc=c, l=cur.idx, r=nxt.idx, o=out.idx)
             )
-            self.program.append(("affine", out.idx, 1, a.idx, 1, b.idx, 0))
-        return out
+            self.program.append(("affine", out.idx, 1, cur.idx, 1, nxt.idx, c))
+            cur = out
+        return cur
 
     def sub(self, a, b):
-        return self.add(a, self.neg(b))
+        if self._is_const(b):
+            return self.add(a, -int(b))
+        if self._is_const(a):
+            # const - var: one gate  -v + c - out = 0
+            c = self._const(a)
+            out = self._new_var()
+            self.gates.append(
+                Gate(ql=self.r - 1, qo=self.r - 1, qc=c, l=b.idx, r=b.idx, o=out.idx)
+            )
+            self.program.append(("affine", out.idx, self.r - 1, b.idx, 0, 0, c))
+            return out
+        out = self._new_var()
+        self.gates.append(
+            Gate(ql=1, qr=self.r - 1, qo=self.r - 1, l=a.idx, r=b.idx, o=out.idx)
+        )
+        self.program.append(("affine", out.idx, 1, a.idx, self.r - 1, b.idx, 0))
+        return out
 
     def neg(self, a):
         if self._is_const(a):
@@ -316,25 +347,34 @@ class API:
     def commit(self, *vars_) -> Variable:
         """BSB22 commitment (gnark frontend.Committer.Commit).
 
-        Returns a variable whose value is derived during proving as
-        hash_fr(commitment point); the commitment constraint row carries the
-        committed wires via the qcp selector."""
+        Scheme (satisfies the generated verifiers' equation exactly):
+        * one linking row per committed wire w:  -w + qcp_i * c_i = 0,
+          where qcp_i is the per-commitment selector (1 at linking rows) and
+          c_i is the committed polynomial carrying w's value there;
+        * one commitment-variable row: -v + hash = 0, the hash entering like
+          a public input (prover: qk_complete at this row; verifier:
+          hash_fr(BSB_i) * L_row(zeta) added to PI —
+          reference templateLogicSigBN254.go:187-194).
+        Returns v = hash_fr(Com(c_i)), solved during proving."""
         committed = [v.idx for v in vars_ if isinstance(v, Variable)]
+        linking_rows = []
+        for w in committed:
+            linking_rows.append(len(self.gates))
+            self.gates.append(Gate(ql=self.r - 1, l=w, r=w, o=w))
         out = self._new_var()
         constraint_index = len(self.gates)
-        # The commitment constraint: the committed value appears as a public-
-        # style contribution at this row; gate is qcp-selected (built in
-        # plonk/setup.py), row itself: -commitment_var + qc(=hash) = 0 with
-        # the hash folded into qk at prove time.
         self.gates.append(
             Gate(ql=self.r - 1, l=out.idx, r=out.idx, o=out.idx)
         )
-        self.program.append(("commit", out.idx, tuple(committed), len(self.commitments)))
+        self.program.append(
+            ("commit", out.idx, tuple(committed), len(self.commitments))
+        )
         self.commitments.append(
             CommitmentInfo(
                 committed_vars=committed,
                 commitment_var=out.idx,
                 constraint_index=constraint_index,
+                linking_rows=linking_rows,
             )
         )
         return out

@@ -126,7 +126,10 @@ def solve(ccs: CompiledConstraintSystem, assignment,
 
 def _check(ccs: CompiledConstraintSystem, values) -> None:
     r = ccs.curve.fr.modulus
-    commitment_rows = {c.constraint_index for c in ccs.commitments}
+    commitment_rows = set()
+    for c in ccs.commitments:
+        commitment_rows.add(c.constraint_index)
+        commitment_rows.update(c.linking_rows)
     for i, g in enumerate(ccs.gates):
         if i in commitment_rows:
             continue  # checked via the commitment mechanism during proving

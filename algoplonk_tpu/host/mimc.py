@@ -1,0 +1,90 @@
+"""MiMC hash over the scalar field (host reference implementation).
+
+The reference's merkle example uses gnark's std MiMC both in-circuit and on
+host (examples/merkle/*/main.go:34-61 + gnark-crypto mimc).  What matters for
+proofs is that the in-circuit gadget (frontend/gadgets/mimc.py) and this host
+hash agree — both are generated from the same spec below.
+
+Spec (deterministic, self-contained):
+* permutation: 110 rounds of x <- (x + k + c_i)^5 over Fr, with exponent 5
+  checked invertible (gcd(5, r-1) = 1 on both supported curves);
+* round constants: sha256 chain seeded with "algoplonk-tpu.mimc.<curve>",
+  each digest reduced mod r; c_0 = 0;
+* multi-block hashing in Miyaguchi-Preneel mode like gnark's fr.MiMC:
+  h <- E_h(m) + h + m.
+
+Note: round constants intentionally differ from gnark's (we do not copy its
+generated tables); circuits and host hashes are consistent with each other,
+which is what on-chain verification requires.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+from ..fields.params import CurveParams
+
+ROUNDS = 110
+EXPONENT = 5
+
+
+@functools.lru_cache(maxsize=None)
+def round_constants(curve_name: str, r: int) -> tuple:
+    assert r % EXPONENT != 1, "x^5 must be a permutation of Fr"
+    cs = [0]
+    seed = hashlib.sha256(f"algoplonk-tpu.mimc.{curve_name}".encode()).digest()
+    for _ in range(ROUNDS - 1):
+        seed = hashlib.sha256(seed).digest()
+        cs.append(int.from_bytes(seed, "big") % r)
+    return tuple(cs)
+
+
+def mimc_encrypt(curve: CurveParams, key: int, msg: int) -> int:
+    r = curve.fr.modulus
+    x = msg % r
+    k = key % r
+    for c in round_constants(curve.name, r):
+        t = (x + k + c) % r
+        x = pow(t, EXPONENT, r)
+    return (x + k) % r
+
+
+def mimc_hash(curve: CurveParams, values) -> int:
+    """Miyaguchi-Preneel over field-element blocks."""
+    r = curve.fr.modulus
+    h = 0
+    for v in values:
+        v = int(v) % r
+        h = (mimc_encrypt(curve, h, v) + h + v) % r
+    return h
+
+
+def merkle_root(curve: CurveParams, leaves) -> int:
+    """Binary Merkle tree, parent = mimc_hash(left, right)."""
+    level = [int(v) % curve.fr.modulus for v in leaves]
+    assert level and (len(level) & (len(level) - 1)) == 0, "need power-of-two leaves"
+    while len(level) > 1:
+        level = [
+            mimc_hash(curve, [level[i], level[i + 1]])
+            for i in range(0, len(level), 2)
+        ]
+    return level[0]
+
+
+def merkle_path(curve: CurveParams, leaves, index: int):
+    """(siblings, directions) for leaf `index`; direction bit 1 means the
+    current node is the right child."""
+    level = [int(v) % curve.fr.modulus for v in leaves]
+    sibs, dirs = [], []
+    idx = index
+    while len(level) > 1:
+        sib = level[idx ^ 1]
+        sibs.append(sib)
+        dirs.append(idx & 1)
+        level = [
+            mimc_hash(curve, [level[i], level[i + 1]])
+            for i in range(0, len(level), 2)
+        ]
+        idx //= 2
+    return sibs, dirs

@@ -93,6 +93,7 @@ class Prover:
         inv_pat = [pow(v, -1, r) for v in zh_pat]
         self.zh_coset = self._enc([zh_pat[i % 4] for i in range(4 * n)])
         self.inv_zh_coset = self._enc([inv_pat[i % 4] for i in range(4 * n)])
+        self._bsb = []  # per-proof BSB22 state, filled by bsb_solver
 
     # ---------------------------------------------------------------- utils
 
@@ -110,6 +111,22 @@ class Prover:
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
 
+    # ------------------------------------------------------------- BSB22
+
+    def bsb_solver(self, info, committed_values) -> int:
+        """Witness-solver hook for frontend commitments: interpolate the
+        committed polynomial c_i over the linking rows, KZG-commit it, and
+        return hash_fr(commitment) as the commitment variable's value."""
+        n, npub = self.pk.n, self.pk.nb_public
+        c_ev_ints = [0] * n
+        for row, val in zip(info.linking_rows, committed_values):
+            c_ev_ints[npub + row] = val % self.r
+        c_ev = self._enc(c_ev_ints)
+        c_c = self.plan.intt(c_ev)
+        com = self._commit(c_c)
+        self._bsb.append({"com": com, "c_c": c_c, "info": info})
+        return hash_fr_bsb22(self.curve, self.tr.point(com))
+
     # ----------------------------------------------------------------- prove
 
     def prove(self, witness: Witness) -> Proof:
@@ -118,8 +135,14 @@ class Prover:
         vk = pk.vk
         plan, plan4 = self.plan, self.plan4
         pub = witness.public_values
-        if self.ccs.commitments:
-            raise NotImplementedError("BSB22 proving lands in a later stage")
+        bsb = self._bsb
+        self._bsb = []
+        if len(bsb) != len(self.ccs.commitments):
+            raise RuntimeError(
+                "BSB22 state mismatch: solve the witness through "
+                "CompiledCircuit.verify (it wires bsb_solver into the solver)"
+            )
+        bsb_coms = [b["com"] for b in bsb]
 
         # ---- round 1: wire polynomials + commitments
         l_ints, r_ints, o_ints = wire_values(self.ccs, witness, n)
@@ -162,12 +185,19 @@ class Prover:
         z_c = plan.intt(z_ev)
         z_com = self._commit(z_c)
 
-        alpha_d, alpha = self.tr.alpha(beta_d, [], z_com)
+        alpha_d, alpha = self.tr.alpha(beta_d, bsb_coms, z_com)
 
         # ---- round 3: quotient on the 4n coset
         qk_complete_ints = f.decode(pk.qk_ev)
         for i, p_val in enumerate(pub):
             qk_complete_ints[i] = p_val
+        # BSB22: the commitment variable's value (= hash_fr of the point)
+        # enters like a public input at the commitment constraint row
+        for b in bsb:
+            info = b["info"]
+            qk_complete_ints[pk.nb_public + info.constraint_index] = (
+                witness.values[info.commitment_var]
+            )
         qk_ev_complete = self._enc(qk_complete_ints)
         qk_c_complete = plan.intt(qk_ev_complete)
 
@@ -194,6 +224,8 @@ class Prover:
             ),
             f.add(f.mul(qo4, o4), qk4),
         )
+        for i, b in enumerate(bsb):
+            gate = f.add(gate, f.mul(lift(pk.qcp_c[i]), lift(b["c_c"])))
         bl = jnp.broadcast_to(beta_l, xs.shape)
         gl = jnp.broadcast_to(gamma_l, xs.shape)
         A = f.mul(
@@ -251,6 +283,9 @@ class Prover:
         s2_z = self._dec1(polyops.poly_eval(f, pk.s2_c, zl))
         wzeta = pk.omega * zeta % r
         zw_z = self._dec1(polyops.poly_eval(f, z_c, self._const(wzeta)))
+        qcp_z = [
+            self._dec1(polyops.poly_eval(f, qcp_c, zl)) for qcp_c in pk.qcp_c
+        ]
 
         # ---- linearization polynomial
         zh_z = (pow(zeta, n, r) - 1) % r
@@ -260,6 +295,12 @@ class Prover:
             wi = pow(pk.omega, i, r)
             li = zh_z * pow(n, -1, r) % r * wi % r * pow((zeta - wi) % r, -1, r) % r
             pi = (pi + li * p_val) % r
+        for b in bsb:
+            info = b["info"]
+            idx = pk.nb_public + info.constraint_index
+            wi = pow(pk.omega, idx, r)
+            li = zh_z * pow(n, -1, r) % r * wi % r * pow((zeta - wi) % r, -1, r) % r
+            pi = (pi + li * witness.values[info.commitment_var]) % r
 
         u = (l_z + beta * s1_z + gamma) % r
         v = (r_z + beta * s2_z + gamma) % r
@@ -290,6 +331,8 @@ class Prover:
         lin = acc(lin, pk.qm_c, l_z * r_z % r)
         lin = acc(lin, pk.qo_c, o_z)
         lin = acc(lin, pk.qk_c, 1)
+        for i, b in enumerate(bsb):
+            lin = acc(lin, b["c_c"], qcp_z[i])
         lin = acc(lin, pk.s3_c, s3_coef)
         lin = acc(lin, z_c, z_coef)
         lin = acc(lin, h0_c, (-zh_z) % r)
@@ -300,11 +343,11 @@ class Prover:
         # ---- round 5: batched opening at zeta
         fold_d, fold_r = self.tr.fold(
             zeta, lin_com, l_com, r_com, o_com, vk,
-            lin_at_z, l_z, r_z, o_z, s1_z, s2_z, [], zw_z,
+            lin_at_z, l_z, r_z, o_z, s1_z, s2_z, qcp_z, zw_z,
         )
         folded = lin
         rv = 1
-        for coeffs in (l_c, r_c, o_c, pk.s1_c, pk.s2_c):
+        for coeffs in (l_c, r_c, o_c, pk.s1_c, pk.s2_c, *pk.qcp_c):
             rv = rv * fold_r % r
             folded = acc(folded, coeffs, rv)
         q_coeffs, _ = polyops.kzg_quotient(f, folded, zl)
@@ -321,4 +364,6 @@ class Prover:
             z_com=z_com, z_omega_at_z=zw_z,
             batch_opening=batch_opening,
             opening_z_omega=opening_z_omega,
+            qcp_at_z=qcp_z,
+            bsb_commitments=bsb_coms,
         )

@@ -65,13 +65,14 @@ def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, Verifyin
         ql[row], qr[row], qm[row], qo[row] = g.ql, g.qr, g.qm, g.qo
         qk[row] = 0 if j in commitment_rows else g.qc
 
-    # BSB22 qcp selectors: one indicator vector per commitment, 1 at the
-    # commitment constraint row (gnark convention: the committed polynomial's
-    # value enters the gate at that row via qcp * committed_poly).
+    # BSB22 qcp selectors: indicator of the linking rows, where the committed
+    # polynomial c_i carries each committed wire's value
+    # (gate: -w + qcp_i * c_i = 0; see frontend.API.commit).
     qcp_vecs = []
     for c in ccs.commitments:
         v = [0] * n
-        v[npub + c.constraint_index] = 1
+        for row in c.linking_rows:
+            v[npub + row] = 1
         qcp_vecs.append(v)
 
     # ------------------------------------------------------- wire slot table

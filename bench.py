@@ -1,0 +1,109 @@
+"""Benchmark driver: BN254 G1 MSM throughput on one chip (the north-star
+metric from BASELINE.md).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "bn254_g1_msm_points_per_sec", "value": N, "unit": "points/s/chip",
+   "vs_baseline": N / 1e6}
+
+vs_baseline is normalized against 1e6 points/s/core — the published
+gnark-crypto-class multicore CPU Pippenger throughput for BN254 G1 at this
+size (the reference repo publishes no prover numbers of its own,
+BASELINE.md; gnark's own benchmarks are ~1M points/s/core on modern x86).
+Supplementary timings go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "17"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_points(ops, curve, n):
+    """Deterministic pseudo-random points, cached on disk (device-generated)."""
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(__file__), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"bench_points_{curve.name}_{n}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    log(f"generating {n} bench points on device...")
+    rng = np.random.default_rng(12345)
+    scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n)]
+    base = jnp.asarray(np.asarray(ops.encode_affine([curve.g1] * n)))
+    bits = ops.scalar_bits_array(scalars, nbits=62)
+    pts = np.asarray(ops.to_affine(ops.scalar_mul(base, bits)))
+    np.save(path, pts)
+    return pts
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import jax.numpy as jnp
+
+    from algoplonk_tpu.fields.params import BN254
+    from algoplonk_tpu.ops.curve import curve_ops
+    from algoplonk_tpu.ops.msm import msm_ctx, scalar_digits
+
+    n = 1 << LOG_N
+    log(f"devices: {jax.devices()}  N = 2^{LOG_N} = {n}")
+    ops = curve_ops(BN254)
+    pts_np = get_points(ops, BN254, n)
+    pts = jnp.asarray(pts_np)
+
+    rng = np.random.default_rng(999)
+    ctx = msm_ctx(BN254)
+
+    def run(seed):
+        scalars = [
+            int.from_bytes(bytes(rng.integers(0, 256, size=31, dtype=np.uint8).tolist()), "little")
+            for _ in range(n)
+        ]
+        digits = scalar_digits(scalars)
+        t0 = time.perf_counter()
+        jac = ctx.msm(pts, digits)
+        jax.block_until_ready(jac)
+        return time.perf_counter() - t0
+
+    log("warmup (compile)...")
+    t_warm = run(0)
+    log(f"warmup: {t_warm:.3f}s")
+    times = []
+    for i in range(REPS):
+        t = run(i + 1)
+        times.append(t)
+        log(f"rep {i}: {t:.3f}s  ({n / t:,.0f} points/s)")
+    best = min(times)
+    pps = n / best
+    print(
+        json.dumps(
+            {
+                "metric": "bn254_g1_msm_points_per_sec",
+                "value": round(pps, 1),
+                "unit": "points/s/chip",
+                "vs_baseline": round(pps / 1.0e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

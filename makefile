@@ -1,0 +1,24 @@
+# Mirrors the reference's build driver (reference makefile:1-20)
+
+test:
+	rm -rf examples/*/generated
+	python -m pytest tests/ -x -q
+
+test-all:
+	python -m pytest tests/ -q
+
+examples:
+	MERKLE_DEPTH=4 python examples/basic/logicsig_verifier.py
+	MERKLE_DEPTH=4 python examples/merkle/logicsig_verifier.py
+
+bench:
+	python bench.py
+
+all: test examples
+
+.PHONY: test test-all examples bench all
+
+native:
+	g++ -O3 -shared -fPIC -o algoplonk_tpu/native/libapmath.so algoplonk_tpu/native/csrc/apmath.cc
+
+.PHONY: native

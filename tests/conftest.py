@@ -7,7 +7,11 @@ Must set flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pins JAX_PLATFORMS=axon and a sitecustomize imports
+# jax + registers the (single-tenant) TPU in every interpreter, so env-var
+# overrides are ineffective — force CPU through jax.config instead.  Tests
+# must never share the TPU tunnel: two concurrent processes deadlock on the
+# device claim.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
