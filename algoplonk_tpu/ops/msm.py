@@ -49,6 +49,27 @@ def scalar_digits(scalars, nbytes: int = 32) -> np.ndarray:
     return arr.T.astype(np.int32).copy()  # [nw, N]
 
 
+def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32):
+    """Montgomery [N, L] limb array -> [nw, N] window digits, on device.
+
+    Avoids the device->host->device round trip when MSM scalars are already
+    resident (every KZG commit in the prover).  Bytes are re-packed from the
+    12-bit limbs with static shifts (limb offsets are 0/4/8 mod 12)."""
+    canon = f.from_mont(mont_limbs)
+    cols = []
+    for j in range(nbytes):
+        bit0 = 8 * j
+        k, off = divmod(bit0, 12)
+        if k >= f.L:
+            cols.append(jnp.zeros(canon.shape[0], jnp.int32))
+            continue
+        b = canon[:, k] >> off
+        if off > 4 and k + 1 < f.L:
+            b = b | (canon[:, k + 1] << (12 - off))
+        cols.append(b & 0xFF)
+    return jnp.stack(cols, axis=0)
+
+
 class MsmCtx:
     def __init__(self, curve: CurveParams):
         self.curve = curve
@@ -135,12 +156,11 @@ class MsmCtx:
         scalars: sequence of python ints (canonical) or [nw, N] digit array.
         """
         n = points_affine.shape[0]
-        if isinstance(scalars, np.ndarray) and scalars.ndim == 2:
-            digits_np = scalars
+        if isinstance(scalars, (np.ndarray, jnp.ndarray)) and scalars.ndim == 2:
+            digits = jnp.asarray(scalars)
         else:
-            digits_np = scalar_digits(scalars)
-        assert digits_np.shape[1] == n
-        digits = jnp.asarray(digits_np)
+            digits = jnp.asarray(scalar_digits(scalars))
+        assert digits.shape[1] == n
 
         max_count = int(self._max_count(digits))
         if max_count == 0:

@@ -104,9 +104,14 @@ class Prover:
         return self.f.decode(np.asarray(limb_vec)[None])[0]
 
     def _commit(self, coeffs) -> tuple:
-        """KZG commit (monomial basis) -> host affine int point."""
-        ints = self.f.decode(coeffs)
-        return self.msm.msm_to_affine_int(self.pk.srs_g1[: len(ints)], ints)
+        """KZG commit (monomial basis) -> host affine int point.
+        Scalar digits are extracted on device from the Montgomery limbs."""
+        from ..ops.msm import digits_from_mont_limbs
+
+        digits = digits_from_mont_limbs(self.f, coeffs)
+        return self.msm.msm_to_affine_int(
+            self.pk.srs_g1[: coeffs.shape[0]], digits
+        )
 
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
