@@ -79,10 +79,12 @@ def batch_inverse(f: FieldOps, v):
 
 
 def powers(f: FieldOps, x_limbs, n: int):
-    """[n, L] table of 1, x, x^2, ..., x^(n-1) (x a single [L] element)."""
-    v = jnp.broadcast_to(x_limbs, (n, f.L)).astype(jnp.int32)
+    """[n, L] table of 1, x, x^2, ..., x^(n-1) (x a single [L] element).
+    Internally padded to a power of two to keep the scan blocked."""
+    n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+    v = jnp.broadcast_to(x_limbs, (n_pad, f.L)).astype(jnp.int32)
     v = jnp.concatenate([f.one[None], v[1:]], axis=0)
-    return prefix_products(f, v)
+    return prefix_products(f, v)[:n]
 
 
 def horner_scan(f: FieldOps, coeffs_desc, z_limbs):
@@ -130,16 +132,28 @@ def horner_scan(f: FieldOps, coeffs_desc, z_limbs):
 
 def poly_eval(f: FieldOps, coeffs, z_limbs):
     """Evaluate polynomial (coeffs ascending) at z. Returns [L]."""
+    n, L = coeffs.shape
+    n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+    if n_pad != n:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((n_pad - n, L), jnp.int32)], axis=0
+        )
     return horner_scan(f, coeffs[::-1], z_limbs)[-1]
 
 
 def kzg_quotient(f: FieldOps, coeffs, z_limbs):
     """(p(X) - p(z)) / (X - z) for coeffs ascending [n, L].
 
-    Returns (q_coeffs [n, L] with top coefficient zero, p_at_z [L]).
-    q_i = Horner intermediate y_{n-2-i}.
+    Returns (q_coeffs [n_padded, L] with top coefficients zero, p_at_z [L]).
+    q_i = Horner intermediate y_{n-2-i}.  Input is zero-padded to a power of
+    two so the blocked scan keeps its sqrt(n) block structure for any length.
     """
     n, L = coeffs.shape
+    n_pad = 1 << (n - 1).bit_length()
+    if n_pad != n:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((n_pad - n, L), jnp.int32)], axis=0
+        )
     ys = horner_scan(f, coeffs[::-1], z_limbs)
     p_at_z = ys[-1]
     q = ys[:-1][::-1]  # y_{n-2} ... y_0 -> q_0..q_{n-2}

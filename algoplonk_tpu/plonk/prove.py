@@ -69,9 +69,25 @@ def _pad_to(arr, n):
 
 
 class Prover:
-    def __init__(self, pk: ProvingKey, ccs: CompiledConstraintSystem):
+    """PLONK prover.
+
+    ``rng``: source of blinding randomness.  Defaults to ``secrets`` (proper
+    zero-knowledge hiding, matching gnark's blinded wire/Z polynomials);
+    pass ``random.Random(seed)`` for deterministic test proofs or ``False``
+    to disable blinding entirely.
+    """
+
+    def __init__(self, pk: ProvingKey, ccs: CompiledConstraintSystem, rng=None):
         self.pk = pk
         self.ccs = ccs
+        if rng is None:
+            import secrets
+
+            self._rand = lambda r: secrets.randbelow(r)
+        elif rng is False:
+            self._rand = lambda r: 0
+        else:
+            self._rand = lambda r: rng.randrange(r)
         self.curve = pk.curve
         self.f = field_ops(self.curve.fr)
         self.msm = msm_ctx(self.curve)
@@ -116,6 +132,25 @@ class Prover:
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
 
+    def _blind(self, coeffs, nb: int):
+        """coeffs + (b_0 + b_1 X + ... ) * (X^n - 1): hides the polynomial's
+        evaluations outside H without changing them on H (zero-knowledge,
+        gnark-style).  Output has n + nb coefficients."""
+        r, n = self.r, self.pk.n
+        bs = [self._rand(r) for _ in range(nb)]
+        if all(b == 0 for b in bs):
+            return coeffs
+        ext = [0] * (n + nb)
+        for i, b in enumerate(bs):
+            ext[i] = (ext[i] - b) % r
+            ext[n + i] = (ext[n + i] + b) % r
+        f = self.f
+        add_c = self._enc(ext)
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((nb, f.L), jnp.int32)], axis=0
+        )
+        return f.add(padded, add_c)
+
     # ------------------------------------------------------------- BSB22
 
     def bsb_solver(self, info, committed_values) -> int:
@@ -149,10 +184,12 @@ class Prover:
             )
         bsb_coms = [b["com"] for b in bsb]
 
-        # ---- round 1: wire polynomials + commitments
+        # ---- round 1: wire polynomials + commitments (blinded: + b(X)*Z_H)
         l_ints, r_ints, o_ints = wire_values(self.ccs, witness, n)
         l_ev, r_ev, o_ev = self._enc(l_ints), self._enc(r_ints), self._enc(o_ints)
-        l_c, r_c, o_c = plan.intt(l_ev), plan.intt(r_ev), plan.intt(o_ev)
+        l_c = self._blind(plan.intt(l_ev), 2)
+        r_c = self._blind(plan.intt(r_ev), 2)
+        o_c = self._blind(plan.intt(o_ev), 2)
         l_com = self._commit(l_c)
         r_com = self._commit(r_c)
         o_com = self._commit(o_c)
@@ -187,7 +224,7 @@ class Prover:
         pp = polyops.prefix_products(f, ratio)
         one_row = jnp.broadcast_to(f.one, (1, f.L)).astype(jnp.int32)
         z_ev = jnp.concatenate([one_row, pp[:-1]], axis=0)
-        z_c = plan.intt(z_ev)
+        z_c = self._blind(plan.intt(z_ev), 3)
         z_com = self._commit(z_c)
 
         alpha_d, alpha = self.tr.alpha(beta_d, bsb_coms, z_com)
@@ -218,7 +255,9 @@ class Prover:
         s14, s24, s34 = lift(pk.s1_c), lift(pk.s2_c), lift(pk.s3_c)
         z4 = lift(z_c)
         # z(omega X): scale coefficients by omega^i
-        zw_c = f.mul(z_c, polyops.powers(f, self._const(pk.omega), n))
+        zw_c = f.mul(
+            z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
+        )
         zw4 = lift(zw_c)
 
         xs = self.xs_coset
@@ -322,13 +361,17 @@ class Prover:
             + alpha * alpha % r * l1_z
         ) % r
 
-        zeta_m = pow(zeta, m, r)
-        lin = jnp.zeros((m, f.L), jnp.int32)
+        zeta_m = pow(zeta, m, r)  # zeta^(n+2), the H-part fold step
+        mlin = n + 3              # max component degree+1 (blinded Z)
+        lin = jnp.zeros((mlin, f.L), jnp.int32)
 
         def acc(lin_acc, coeffs, scalar):
             return f.add(
                 lin_acc,
-                f.mul(_pad_to(coeffs, m), jnp.broadcast_to(self._const(scalar), (m, f.L))),
+                f.mul(
+                    _pad_to(coeffs, mlin),
+                    jnp.broadcast_to(self._const(scalar), (mlin, f.L)),
+                ),
             )
 
         lin = acc(lin, pk.ql_c, l_z)
@@ -355,11 +398,13 @@ class Prover:
         for coeffs in (l_c, r_c, o_c, pk.s1_c, pk.s2_c, *pk.qcp_c):
             rv = rv * fold_r % r
             folded = acc(folded, coeffs, rv)
+        # quotients have degree < deg(folded); trim the scan's pow2 padding
+        # back before committing (the SRS slice must match the digit count)
         q_coeffs, _ = polyops.kzg_quotient(f, folded, zl)
-        batch_opening = self._commit(q_coeffs)
+        batch_opening = self._commit(q_coeffs[:mlin])
 
         q2_coeffs, _ = polyops.kzg_quotient(f, z_c, self._const(wzeta))
-        opening_z_omega = self._commit(q2_coeffs)
+        opening_z_omega = self._commit(q2_coeffs[:mlin])
 
         return Proof(
             l_com=l_com, r_com=r_com, o_com=o_com,
