@@ -1,0 +1,83 @@
+"""Multi-chip code paths on the virtual CPU mesh (SURVEY.md section 4's
+"pod execution without a pod" strategy)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import algoplonk_tpu as ap
+from algoplonk_tpu.fields import limbs as limbs_mod
+from algoplonk_tpu.fields.params import domain_generator
+from algoplonk_tpu.host import fp as hfp
+from algoplonk_tpu.ops.curve import curve_ops
+from algoplonk_tpu.ops.field import field_ops
+from algoplonk_tpu.ops.msm import scalar_digits
+from algoplonk_tpu.parallel.msm_sharded import sharded_msm_fn
+from algoplonk_tpu.parallel.ntt_sharded import sharded_ntt_fn
+
+NDEV = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices("cpu")
+    if len(devs) < NDEV:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    return Mesh(np.array(devs[:NDEV]), ("x",))
+
+
+@pytest.mark.slow
+def test_sharded_msm_matches_host(mesh):
+    import jax.numpy as jnp
+
+    curve = ap.BN254
+    ops = curve_ops(curve)
+    n = 8 * NDEV
+    base = jnp.asarray(np.asarray(ops.encode_affine([curve.g1] * n)))
+    bits = ops.scalar_bits_array(list(range(1, n + 1)))
+    pts = np.asarray(ops.to_affine(ops.scalar_mul(base, bits)))
+    scalars = [3 * i + 7 for i in range(n)]
+    digits = scalar_digits(scalars)
+
+    fn = sharded_msm_fn(curve, mesh, "x", n, digits.shape[0])
+    pts_sh = jax.device_put(jnp.asarray(pts), NamedSharding(mesh, P("x")))
+    dig_sh = jax.device_put(
+        jnp.asarray(digits), NamedSharding(mesh, P(None, "x"))
+    )
+    jac = fn(pts_sh, dig_sh)
+    got = ops.decode_affine(ops.to_affine(jac[None]))[0]
+
+    r = curve.fr.modulus
+    want_scalar = sum(s * (i + 1) for i, s in enumerate(scalars)) % r
+    want = hfp.ec_mul(hfp.GF(curve.fp.modulus), curve.g1, want_scalar)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_sharded_ntt_matches_single_chip(mesh):
+    import jax.numpy as jnp
+
+    curve = ap.BN254
+    f = field_ops(curve.fr)
+    log_n = 6
+    n = 1 << log_n
+    r = curve.fr.modulus
+    fn, (n1, n2) = sharded_ntt_fn("bn254", mesh, "x", log_n)
+
+    coeffs = [(7 * i + 3) % r for i in range(n)]
+    mat = np.zeros((n2, n1), dtype=object)
+    for j1 in range(n1):
+        for j2 in range(n2):
+            mat[j2, j1] = coeffs[j1 * n2 + j2]
+    x = jnp.asarray(
+        limbs_mod.ints_to_mont_limbs([int(v) for v in mat.reshape(-1)], curve.fr)
+    ).reshape(n2, n1, f.L)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("x")))
+    out = fn(x_sh)
+
+    flat = f.decode(np.asarray(out).reshape(n, f.L))
+    w = domain_generator("bn254", log_n)
+    for k in (0, 1, 9, n - 1):
+        want = sum(c * pow(w, k * j, r) for j, c in enumerate(coeffs)) % r
+        assert flat[k] == want, f"mismatch at {k}"
