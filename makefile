@@ -5,7 +5,7 @@ test:
 	python -m pytest tests/ -x -q
 
 test-all:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m ""
 
 examples:
 	MERKLE_DEPTH=4 python examples/basic/logicsig_verifier.py
