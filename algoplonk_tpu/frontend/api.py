@@ -11,9 +11,10 @@ plus a replayable straight-line *eval program*, so witness solving is a fast
 host-side pass (sequential constraint solving is not TPU work — SURVEY.md
 section 7 hard part #5) with no re-tracing of user code per proof.
 
-Supports the gnark features the reference exercises: Add/Sub/Mul/Div/Inverse,
-AssertIsEqual/Different/Boolean, Select, IsZero, ToBinary/FromBinary, and the
-BSB22 `Committer` hook (frontend.Committer — reference README.md:19).
+Supports the gnark features the reference exercises: Add/Sub/Mul/MulAcc/Div/
+Inverse, AssertIsEqual/Different/Boolean/LessOrEqual, Select, Lookup2, IsZero,
+Cmp, ToBinary/FromBinary, and the BSB22 `Committer` hook (frontend.Committer —
+reference README.md:19).
 """
 
 from __future__ import annotations
@@ -236,6 +237,23 @@ class API:
         self.program.append(("mul", out.idx, a.idx, b.idx))
         return out
 
+    def mul_acc(self, a, b, c):
+        """a + b*c (gnark api.MulAcc), fused into one gate when possible."""
+        if self._is_const(b) or self._is_const(c):
+            return self.add(a, self.mul(b, c))
+        if self._is_const(a):
+            # qM*b*c + qC - out = 0
+            out = self._new_var()
+            k = self._const(a)
+            self.gates.append(
+                Gate(qm=1, qo=self.r - 1, qc=k, l=b.idx, r=c.idx, o=out.idx)
+            )
+            self.program.append(("mulacc_c", out.idx, k, b.idx, c.idx))
+            return out
+        # can't place three inputs on one row (a needs its own slot and the
+        # row only has l,r,o with o taken by the output) — two gates
+        return self.add(a, self.mul(b, c))
+
     def div(self, a, b):
         """a / b, with b asserted nonzero by construction (b * out = a)."""
         if self._is_const(b):
@@ -318,6 +336,53 @@ class API:
 
     def or_(self, a, b):
         return self.sub(self.add(a, b), self.mul(a, b))
+
+    def lookup2(self, b0, b1, i0, i1, i2, i3):
+        """2-bit lookup (gnark api.Lookup2): selects i_{b1b0} from four values.
+
+        out = i0 + b0*(i1-i0) + b1*(i2-i0) + b0*b1*(i3-i2-i1+i0); b0,b1 must
+        be boolean (asserted by the caller or produced by to_binary)."""
+        t01 = self.mul(b0, b1)
+        out = self.add(
+            i0,
+            self.mul(b0, self.sub(i1, i0)),
+            self.mul(b1, self.sub(i2, i0)),
+            self.mul(t01, self.add(self.sub(i3, i2), self.sub(i0, i1))),
+        )
+        return out
+
+    def cmp(self, a, b, nbits: int | None = None):
+        """Three-way compare (gnark api.Cmp): 1 if a>b, 0 if a==b, -1 (mod r)
+        if a<b, comparing as integers in [0, r).  Cost: 2 bit decompositions
+        plus O(nbits) select rows."""
+        if self._is_const(a) and self._is_const(b):
+            ca, cb = self._const(a), self._const(b)
+            return 1 if ca > cb else (0 if ca == cb else self.r - 1)
+        if nbits is None:
+            nbits = self.r.bit_length()
+        abits = self.to_binary(a, nbits)
+        bbits = self.to_binary(b, nbits)
+        res = 0
+        for ai, bi in zip(abits, bbits):  # LSB→MSB; later (higher) bits win
+            d = self.sub(ai, bi)  # in {-1, 0, 1}
+            res = self.select(self.is_zero(d), res, d)
+        return res
+
+    def assert_is_less_or_equal(self, v, bound):
+        """Assert v <= bound as integers (gnark api.AssertIsLessOrEqual)."""
+        if self._is_const(v) and self._is_const(bound):
+            if self._const(v) > self._const(bound):
+                raise ValueError("constant bound violated at compile time")
+            return
+        if self._is_const(bound):
+            nbits = max(self._const(bound).bit_length(), 1)
+            # decompose v into exactly nbits bits: forces v < 2^nbits and
+            # cmp over the short width settles v <= bound
+            c = self.cmp(v, bound, nbits=nbits)
+        else:
+            c = self.cmp(v, bound)
+        # c ∈ {-1,0,1}; forbid c == 1 via c*(c+1) == 0: c=-1→0, c=0→0, c=1→2
+        self.assert_is_equal(self.mul(c, self.add(c, 1)), 0)
 
     def to_binary(self, a, nbits: int):
         """Decompose into nbits little-endian bits (range-checks included)."""

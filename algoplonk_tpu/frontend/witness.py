@@ -94,6 +94,9 @@ def solve(ccs: CompiledConstraintSystem, assignment,
         elif kind == "mul":
             _, out, a, b = ins
             values[out] = values[a] * values[b] % r
+        elif kind == "mulacc_c":
+            _, out, k, a, b = ins
+            values[out] = (k + values[a] * values[b]) % r
         elif kind == "div":
             _, out, a, b = ins
             values[out] = values[a] * pow(values[b], -1, r) % r

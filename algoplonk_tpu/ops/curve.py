@@ -15,6 +15,7 @@ marks affine infinity, matching the serialization convention.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,31 @@ import numpy as np
 from ..fields.params import CurveParams
 from ..fields import limbs as limbs_mod
 from .field import FieldOps, field_ops
+
+
+def _flatten_leading_2(fn):
+    """Adapt a [N, rows, L]-shaped binary pallas kernel to the CurveOps
+    calling convention: arbitrary (broadcastable) leading batch dims."""
+
+    def wrapped(p, q):
+        lead = jnp.broadcast_shapes(p.shape[:-2], q.shape[:-2])
+        p = jnp.broadcast_to(p, lead + p.shape[-2:])
+        q = jnp.broadcast_to(q, lead + q.shape[-2:])
+        n = int(np.prod(lead)) if lead else 1
+        out = fn(p.reshape((n,) + p.shape[-2:]), q.reshape((n,) + q.shape[-2:]))
+        return out.reshape(lead + out.shape[-2:])
+
+    return wrapped
+
+
+def _flatten_leading_1(fn):
+    def wrapped(p):
+        lead = p.shape[:-2]
+        n = int(np.prod(lead)) if lead else 1
+        out = fn(p.reshape((n,) + p.shape[-2:]))
+        return out.reshape(lead + out.shape[-2:])
+
+    return wrapped
 
 
 class CurveOps:
@@ -40,8 +66,22 @@ class CurveOps:
         self.jac_add = jax.jit(self.jac_add)
         self.jac_double = jax.jit(self.jac_double)
         self.jac_add_affine = jax.jit(self.jac_add_affine)
+        self.aff_add_aff = jax.jit(self.aff_add_aff)
         self.to_affine = jax.jit(self.to_affine)
         self.scalar_mul = jax.jit(self.scalar_mul)
+        if os.environ.get("AP_PALLAS") == "1":
+            # A/B switch: fused Pallas point kernels (ops/curve_pallas.py)
+            # replace the XLA-composed formulas for the hot binary ops; the
+            # XLA path stays the reference implementation.
+            from .curve_pallas import (
+                pallas_aff_add_aff,
+                pallas_jac_add,
+                pallas_jac_double,
+            )
+
+            self.jac_add = _flatten_leading_2(pallas_jac_add(curve))
+            self.aff_add_aff = _flatten_leading_2(pallas_aff_add_aff(curve))
+            self.jac_double = _flatten_leading_1(pallas_jac_double(curve))
 
     # -------------------------------------------------------------- converts
 
@@ -148,6 +188,46 @@ class CurveOps:
         )
         out = jnp.where(p_inf[..., None, None], self.affine_to_jac(q_affine), out)
         out = jnp.where(q_inf[..., None, None], p, out)
+        return out
+
+    def aff_add_aff(self, p_affine, q_affine):
+        """Complete affine + affine addition -> Jacobian.
+
+        The cheapest add in the repertoire (Z1 = Z2 = 1 drops all the Z
+        algebra: 4M+2S generic path vs 11M+5S for jac+jac) — used for the
+        first level of the MSM bucket tree, where all inputs are still the
+        gathered affine SRS points."""
+        f = self.f
+        X1, Y1 = p_affine[..., 0, :], p_affine[..., 1, :]
+        X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
+        H = f.sub(X2, X1)
+        R = f.sub(Y2, Y1)
+        HH = f.square(H)
+        HHH = f.mul(H, HH)
+        V = f.mul(X1, HH)
+        RR = f.square(R)
+        X3 = f.sub(f.sub(RR, HHH), f.add(V, V))
+        Y3 = f.sub(f.mul(R, f.sub(V, X3)), f.mul(Y1, HHH))
+        generic = jnp.stack([X3, Y3, H], axis=-2)
+
+        dbl = self.jac_double(self.affine_to_jac(p_affine))
+        p_inf = f.is_zero(X1) & f.is_zero(Y1)
+        q_inf = f.is_zero(X2) & f.is_zero(Y2)
+        h_zero = f.is_zero(H)
+        r_zero = f.is_zero(R)
+        both = ~p_inf & ~q_inf
+
+        out = generic
+        out = jnp.where((both & h_zero & r_zero)[..., None, None], dbl, out)
+        out = jnp.where(
+            (both & h_zero & ~r_zero)[..., None, None], jnp.zeros_like(out), out
+        )
+        out = jnp.where(
+            p_inf[..., None, None], self.affine_to_jac(q_affine), out
+        )
+        out = jnp.where(
+            q_inf[..., None, None], self.affine_to_jac(p_affine), out
+        )
         return out
 
     def to_affine(self, p):

@@ -79,50 +79,130 @@ def _jac_double_values(fk, p):
     return jnp.stack([X3, Y3, Z3], axis=1)
 
 
-@functools.lru_cache(maxsize=None)
-def pallas_jac_add(curve: CurveParams, tile: int = 256):
-    """Fused [N, 3, L] + [N, 3, L] -> [N, 3, L] Jacobian addition."""
+def _affine_to_jac_values(fk, pts):
+    """[T, 2, L] affine -> [T, 3, L] jacobian ((0,0) -> infinity)."""
+    x, y = pts[:, 0], pts[:, 1]
+    is_inf = fk.is_zero_v(x) & fk.is_zero_v(y)
+    one = jnp.broadcast_to(fk.one, x.shape)
+    z = fk.select_v(is_inf, jnp.zeros_like(x), one)
+    return jnp.stack([x, y, z], axis=1)
+
+
+def _aff_add_aff_values(fk, p, q):
+    """Complete affine + affine -> Jacobian on loaded values [T, 2, L]
+    (mirror of CurveOps.aff_add_aff: 4M+2S generic path)."""
+    X1, Y1 = p[:, 0], p[:, 1]
+    X2, Y2 = q[:, 0], q[:, 1]
+    H = fk.sub_v(X2, X1)
+    R = fk.sub_v(Y2, Y1)
+    HH = fk.square_v(H)
+    HHH = fk.mul_v(H, HH)
+    V = fk.mul_v(X1, HH)
+    RR = fk.square_v(R)
+    X3 = fk.sub_v(fk.sub_v(RR, HHH), fk.add_v(V, V))
+    Y3 = fk.sub_v(fk.mul_v(R, fk.sub_v(V, X3)), fk.mul_v(Y1, HHH))
+    generic = jnp.stack([X3, Y3, H], axis=1)
+
+    dbl = _jac_double_values(fk, _affine_to_jac_values(fk, p))
+    p_inf = fk.is_zero_v(X1) & fk.is_zero_v(Y1)
+    q_inf = fk.is_zero_v(X2) & fk.is_zero_v(Y2)
+    h_zero = fk.is_zero_v(H)
+    r_zero = fk.is_zero_v(R)
+    both = ~p_inf & ~q_inf
+
+    out = generic
+    out = jnp.where((both & h_zero & r_zero)[:, None, None], dbl, out)
+    out = jnp.where(
+        (both & h_zero & ~r_zero)[:, None, None], jnp.zeros_like(out), out
+    )
+    out = jnp.where(p_inf[:, None, None], _affine_to_jac_values(fk, q), out)
+    out = jnp.where(q_inf[:, None, None], _affine_to_jac_values(fk, p), out)
+    return out
+
+
+def _interpret_default() -> bool:
+    """Pallas TPU kernels only execute natively on TPU; fall back to the
+    interpreter elsewhere (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def _binary_point_call(curve, values_fn, rows: int, tile: int,
+                       interpret: bool | None):
     fk = field_kernels(curve.fp)
     L = fk.L
+    consts = jnp.asarray(fk.consts())
+    interp = _interpret_default() if interpret is None else interpret
 
-    def kernel(p_ref, q_ref, o_ref):
-        o_ref[:] = _jac_add_values(fk, p_ref[:], q_ref[:])
+    def kernel(c_ref, p_ref, q_ref, o_ref):
+        fkb = fk.bind(c_ref[:])
+        o_ref[:] = values_fn(fkb, p_ref[:], q_ref[:])
 
     @jax.jit
     def run(p, q):
         n = p.shape[0]
         grid = (pl.cdiv(n, tile),)
-        spec = pl.BlockSpec((tile, 3, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        const_spec = pl.BlockSpec(
+            (3, L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        in_spec = pl.BlockSpec(
+            (tile, rows, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (tile, 3, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 3, L), jnp.int32),
             grid=grid,
-            in_specs=[spec, spec],
-            out_specs=spec,
-        )(p, q)
+            in_specs=[const_spec, in_spec, in_spec],
+            out_specs=out_spec,
+            interpret=interp,
+        )(consts, p, q)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_jac_double(curve: CurveParams, tile: int = 256):
+def pallas_jac_add(curve: CurveParams, tile: int = 256,
+                   interpret: bool | None = None):
+    """Fused [N, 3, L] + [N, 3, L] -> [N, 3, L] Jacobian addition."""
+    return _binary_point_call(curve, _jac_add_values, 3, tile, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_aff_add_aff(curve: CurveParams, tile: int = 256,
+                       interpret: bool | None = None):
+    """Fused [N, 2, L] affine + affine -> [N, 3, L] Jacobian."""
+    return _binary_point_call(curve, _aff_add_aff_values, 2, tile, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_jac_double(curve: CurveParams, tile: int = 256,
+                      interpret: bool | None = None):
     fk = field_kernels(curve.fp)
     L = fk.L
+    consts = jnp.asarray(fk.consts())
+    interp = _interpret_default() if interpret is None else interpret
 
-    def kernel(p_ref, o_ref):
-        o_ref[:] = _jac_double_values(fk, p_ref[:])
+    def kernel(c_ref, p_ref, o_ref):
+        fkb = fk.bind(c_ref[:])
+        o_ref[:] = _jac_double_values(fkb, p_ref[:])
 
     @jax.jit
     def run(p):
         n = p.shape[0]
         grid = (pl.cdiv(n, tile),)
+        const_spec = pl.BlockSpec(
+            (3, L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
         spec = pl.BlockSpec((tile, 3, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, 3, L), jnp.int32),
             grid=grid,
-            in_specs=[spec],
+            in_specs=[const_spec, spec],
             out_specs=spec,
-        )(p)
+            interpret=interp,
+        )(consts, p)
 
     return run

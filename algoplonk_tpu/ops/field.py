@@ -54,6 +54,7 @@ class FieldOps:
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
         self.mul = jax.jit(self.mul)
+        self.square = jax.jit(self.square)
         self.inv = jax.jit(self.inv)
         self.to_mont = jax.jit(self.to_mont)
         self.from_mont = jax.jit(self.from_mont)
@@ -84,6 +85,24 @@ class FieldOps:
         for i in range(1, L):
             prod = prod + self._pad_last(a[..., i : i + 1] * b, i, L - i)
         return prod
+
+    def _sq_full(self, a):
+        """Squaring columns -> [..., 2L] un-carried: diagonal terms a_i^2 at
+        column 2i plus doubled cross terms 2*a_i*a_j (i<j) at column i+j —
+        L + L(L-1)/2 limb products vs L^2 for the generic multiplier.  Column
+        sums stay < L/2 * 2^25 < 2^31 for 12-bit limbs."""
+        L = self.L
+        total = None
+        for i in range(L):
+            diag = a[..., i : i + 1] * a[..., i : i + 1]
+            if i + 1 < L:
+                cross = (a[..., i : i + 1] * a[..., i + 1 :]) * 2
+                row = jnp.concatenate([diag, cross], axis=-1)  # len L - i
+            else:
+                row = diag
+            padded = self._pad_last(row, 2 * i, L - i)
+            total = padded if total is None else total + padded
+        return total
 
     def _mul_low(self, a, b):
         """Low L limbs of a*b (mod R), carried."""
@@ -123,6 +142,13 @@ class FieldOps:
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
 
+    def _redc(self, t):
+        """Coarse Montgomery reduction of carried columns t [..., 2L]."""
+        L = self.L
+        m = self._mul_low(t[..., :L], self.np_limbs)
+        s = self._carry(self._mul_full(m, self.p_limbs) + t, 2 * L)
+        return self._cond_sub_p(s[..., L:])
+
     def mul(self, a, b):
         """Montgomery product: a * b * R^-1 mod p (coarse REDC).
 
@@ -130,14 +156,12 @@ class FieldOps:
         which fits 2L limbs with headroom (params guarantee R > 2^6 * p), so no
         carry escapes limb 2L-1 and the shifted result is < 2p.
         """
-        L = self.L
-        t = self._carry(self._mul_full(a, b), 2 * L)
-        m = self._mul_low(t[..., :L], self.np_limbs)
-        s = self._carry(self._mul_full(m, self.p_limbs) + t, 2 * L)
-        return self._cond_sub_p(s[..., L:])
+        return self._redc(self._carry(self._mul_full(a, b), 2 * self.L))
 
     def square(self, a):
-        return self.mul(a, a)
+        """Montgomery squaring — dedicated column generator (~half the limb
+        products of mul); curve formulas are square-heavy."""
+        return self._redc(self._carry(self._sq_full(a), 2 * self.L))
 
     def mul_const(self, a, c_limbs):
         """Multiply batch by a single Montgomery constant [L]."""

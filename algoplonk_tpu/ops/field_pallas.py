@@ -16,10 +16,12 @@ lane-major relayout is the next optimization step.
 
 from __future__ import annotations
 
+import copy
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,16 +46,31 @@ def _pad_last_v(x, before, after):
 
 class FieldKernels:
     """Value-level field ops bound to one field's constants (for use inside
-    pallas kernel bodies)."""
+    pallas kernel bodies).
+
+    Pallas kernels may not capture array constants, so the field constants
+    travel as a [3, L] operand: pass ``consts()`` to the pallas_call and
+    rebind inside the kernel with ``bind(c_ref[:])``."""
 
     def __init__(self, fp: FieldParams):
         self.fp = fp
         self.L = fp.nlimbs
         f = field_ops(fp)
-        # concrete constant arrays; become VMEM constants inside kernels
-        self.p_limbs = f.p_limbs
-        self.np_limbs = f.np_limbs
-        self.one = f.one
+        self.p_limbs = np.asarray(f.p_limbs)
+        self.np_limbs = np.asarray(f.np_limbs)
+        self.one = np.asarray(f.one)
+
+    def consts(self) -> np.ndarray:
+        """[3, L]: modulus limbs, -p^-1 limbs, Montgomery one."""
+        return np.stack([self.p_limbs, self.np_limbs, self.one])
+
+    def bind(self, consts_val) -> "FieldKernels":
+        """Copy with constants replaced by in-kernel loaded values."""
+        b = copy.copy(self)
+        b.p_limbs = consts_val[0]
+        b.np_limbs = consts_val[1]
+        b.one = consts_val[2]
+        return b
 
     def mul_full_v(self, a, b):
         L = self.L
@@ -90,8 +107,28 @@ class FieldKernels:
         s = _carry_v(self.mul_full_v(m, self.p_limbs) + t, 2 * L)
         return self.cond_sub_p_v(s[..., L:])
 
+    def sq_full_v(self, a):
+        """Squaring columns: diagonal a_i^2 at 2i + doubled cross terms —
+        ~half the limb products of mul_full_v (mirror of FieldOps._sq_full)."""
+        L = self.L
+        total = None
+        for i in range(L):
+            diag = a[..., i : i + 1] * a[..., i : i + 1]
+            if i + 1 < L:
+                cross = (a[..., i : i + 1] * a[..., i + 1 :]) * 2
+                row = jnp.concatenate([diag, cross], axis=-1)
+            else:
+                row = diag
+            padded = _pad_last_v(row, 2 * i, L - i)
+            total = padded if total is None else total + padded
+        return total
+
     def square_v(self, a):
-        return self.mul_v(a, a)
+        L = self.L
+        t = _carry_v(self.sq_full_v(a), 2 * L)
+        m = self.mul_low_v(t[..., :L], self.np_limbs)
+        s = _carry_v(self.mul_full_v(m, self.p_limbs) + t, 2 * L)
+        return self.cond_sub_p_v(s[..., L:])
 
     def add_v(self, a, b):
         return self.cond_sub_p_v(_carry_v(a + b, self.L))
@@ -113,29 +150,34 @@ def field_kernels(fp: FieldParams) -> FieldKernels:
     return FieldKernels(fp)
 
 
-def pallas_mul(fp: FieldParams, tile: int = 512):
+def pallas_mul(fp: FieldParams, tile: int = 512, interpret: bool | None = None):
     """Standalone fused Montgomery multiply: [N, L] x [N, L] -> [N, L]."""
     fk = field_kernels(fp)
     L = fk.L
+    consts = jnp.asarray(fk.consts())
+    interp = (jax.default_backend() != "tpu") if interpret is None else interpret
 
-    def kernel(a_ref, b_ref, o_ref):
-        o_ref[:] = fk.mul_v(a_ref[:], b_ref[:])
+    def kernel(c_ref, a_ref, b_ref, o_ref):
+        fkb = fk.bind(c_ref[:])
+        o_ref[:] = fkb.mul_v(a_ref[:], b_ref[:])
 
     @jax.jit
     def run(a, b):
         n = a.shape[0]
         grid = (pl.cdiv(n, tile),)
+        tile_spec = pl.BlockSpec(
+            (tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_spec = pl.BlockSpec(
+            (3, L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n, L), jnp.int32),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        )(a, b)
+            in_specs=[const_spec, tile_spec, tile_spec],
+            out_specs=tile_spec,
+            interpret=interp,
+        )(consts, a, b)
 
     return run

@@ -19,8 +19,10 @@ TPU-first reformulation of the bucket method (SURVEY.md section 7 hard part
   suffix-sum over buckets (sum_d d * B_d) is batched across all windows.
 
 M is data-dependent: it is measured on device, pulled to host once per call,
-and rounded up to a power of two so the jitted kernel is reused across calls
-(distinct (N, M) pairs each compile once).
+and rounded up to the nearest 2^k or 3*2^k so the jitted kernel is reused
+across calls (distinct (N, M) pairs each compile once).  The first tree
+level runs the dedicated affine+affine formula (inputs are still the
+gathered affine points — ~2x cheaper than jac+jac).
 
 Multi-chip: the bucket decomposition distributes over point shards, so the
 sharded MSM in parallel/msm_sharded.py runs this kernel per shard and
@@ -70,6 +72,17 @@ def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32):
     return jnp.stack(cols, axis=0)
 
 
+def _round_bucket_capacity(max_count: int) -> int:
+    """Round M up to the nearest 2^k or 3*2^k — a finer grid than pure
+    powers of two (padding waste <= 1/3 instead of <= 1/2) while keeping the
+    set of jit-compiled (N, M) kernel variants small."""
+    if max_count <= 2:
+        return max(max_count, 1)
+    p2 = 1 << (max_count - 1).bit_length()          # next power of two
+    p15 = 3 * (p2 >> 2)                             # 1.5 * previous pow2
+    return p15 if p15 >= max_count else p2
+
+
 class MsmCtx:
     def __init__(self, curve: CurveParams):
         self.curve = curve
@@ -113,13 +126,29 @@ class MsmCtx:
             valid = offs[None] < counts[:, None]
             gidx = jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
             pts = points_pad[gidx]                     # [255, M, 2, L]
-            jac = ops.affine_to_jac(pts)
-            mm = m
+            if m == 1:
+                return ops.affine_to_jac(pts)[:, 0]
+            # level 1 on affine inputs (cheapest formula), then jac tree;
+            # odd levels park the stray element in a carry accumulator
+            half = m // 2
+            jac = ops.aff_add_aff(pts[:, :half], pts[:, half : 2 * half])
+            carry = (
+                ops.affine_to_jac(pts[:, -1]) if m % 2 else None
+            )                                          # [255, 3, L]
+            mm = half
             while mm > 1:
-                half = mm // 2
-                jac = ops.jac_add(jac[:, :half], jac[:, half : 2 * half])
-                mm = half
-            return jac[:, 0]                           # [255, 3, L]
+                h2 = mm // 2
+                if mm % 2:
+                    stray = jac[:, -1]
+                    carry = (
+                        stray if carry is None else ops.jac_add(carry, stray)
+                    )
+                jac = ops.jac_add(jac[:, :h2], jac[:, h2 : 2 * h2])
+                mm = h2
+            out = jac[:, 0]
+            if carry is not None:
+                out = ops.jac_add(out, carry)
+            return out                                 # [255, 3, L]
 
         jfn = jax.jit(fn)
         self._window_fn_cache[key] = jfn
@@ -165,7 +194,7 @@ class MsmCtx:
         max_count = int(self._max_count(digits))
         if max_count == 0:
             return self.ops.jac_infinity()
-        m = 1 << max(1, (max_count - 1).bit_length())
+        m = _round_bucket_capacity(max_count)
 
         inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
         points_pad = jnp.concatenate([points_affine, inf_row], axis=0)

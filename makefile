@@ -14,9 +14,12 @@ examples:
 bench:
 	python bench.py
 
+bench-kernels:
+	python bench_kernels.py
+
 all: test examples
 
-.PHONY: test test-all examples bench all
+.PHONY: test test-all examples bench bench-kernels all
 
 native:
 	g++ -O3 -shared -fPIC -o algoplonk_tpu/native/libapmath.so algoplonk_tpu/native/csrc/apmath.cc

@@ -30,6 +30,22 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_state():
+    """Clear jit/executable caches between test modules.
+
+    The XLA CPU backend segfaults in backend_compile after ~50 of this
+    suite's very large kernel compiles accumulate in one process (observed
+    repeatedly at tests/test_kzg_gntt.py in full-suite runs; the same file
+    passes in isolation).  Cross-module cache hits are rare anyway — each
+    module exercises its own shapes."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import random

@@ -60,6 +60,40 @@ def test_add_double_mixed(rng, curve):
     assert got_mixed == want
 
 
+@pytest.mark.parametrize("curve", [BN254], ids=lambda c: c.name)
+def test_aff_add_aff(rng, curve):
+    """The MSM tree's level-1 formula, incl. every special case lane."""
+    ops = curve_ops(curve)
+    F = hfp.GF(curve.fp.modulus)
+    n = 8
+    P = sample_points(rng, curve, n)
+    Q = sample_points(rng, curve, n)
+    P[0] = None                       # inf + Q
+    Q[1] = None                       # P + inf
+    Q[2] = P[2]                       # doubling path
+    Q[3] = hfp.ec_neg(F, P[3])        # P + (-P) = inf
+    P[4] = None
+    Q[4] = None                       # inf + inf
+
+    got = ops.decode_affine(
+        ops.to_affine(
+            ops.aff_add_aff(ops.encode_affine(P), ops.encode_affine(Q))
+        )
+    )
+    want = [hfp.ec_add(F, p, q) for p, q in zip(P, Q)]
+    assert got == want
+
+
+def test_bucket_capacity_rounding():
+    from algoplonk_tpu.ops.msm import _round_bucket_capacity as rc
+
+    assert [rc(i) for i in (1, 2, 3, 4, 5, 6, 7, 8)] == [1, 2, 3, 4, 6, 6, 8, 8]
+    assert rc(600) == 768 and rc(769) == 1024 and rc(96) == 96
+    for v in range(1, 2000):
+        m = rc(v)
+        assert m >= v and m < 2 * v or v <= 2
+
+
 @pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
 def test_scalar_mul(rng, curve):
     ops = curve_ops(curve)

@@ -66,6 +66,16 @@ def test_mul_add_sub(rng, fp):
     assert got_neg == [(-x) % fp.modulus for x in a_int]
 
 
+@pytest.mark.parametrize("fp", FIELDS, ids=lambda f: f.name)
+def test_square(rng, fp):
+    """Dedicated squaring column generator vs exact host squares."""
+    ops = field_ops(fp)
+    xs = rand_elems(rng, fp, 61) + [0, 1, fp.modulus - 1]
+    a = ops.encode(xs)
+    got = ops.decode(ops.square(a))
+    assert got == [x * x % fp.modulus for x in xs]
+
+
 @pytest.mark.parametrize("fp", [BN254_FR, BLS12_381_FP], ids=lambda f: f.name)
 def test_inv_pow(rng, fp):
     ops = field_ops(fp)
