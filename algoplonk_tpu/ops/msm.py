@@ -12,17 +12,22 @@ TPU-first reformulation of the bucket method (SURVEY.md section 7 hard part
   contiguous segment problem;
 * per-bucket point lists become a dense ``[255, M]`` gather (M = max non-zero
   bucket population, padded with the point at infinity), and bucket sums are a
-  log2(M) pairwise Jacobian tree reduction — wide, branch-free, fully batched;
+  log2(M) pairwise tree reduction — wide, branch-free, fully batched;
+* the whole bucket tree runs in *affine* coordinates: each level performs one
+  shared log-depth batch inversion (poly.batch_inverse_tree) and the complete
+  chord/tangent formula (curve.aff_add_with_inv) — ~2S+5M+3M(inv share) per
+  add versus ~16M+9S for complete Jacobian adds, the classic batch-affine
+  Pippenger trick recast as wide vector levels;
 * zero digits are excluded from M so sparse scalar vectors (common for
   selector polynomials) cost nothing;
-* windows are processed sequentially to bound HBM footprint; the final
-  suffix-sum over buckets (sum_d d * B_d) is batched across all windows.
+* windows are processed in groups of G (HBM-budgeted) so the per-level batch
+  inversions amortize across windows; the per-window weighted bucket sum
+  (sum_d d * B_d) = sum of bucket suffix sums, computed as a log-depth
+  associative scan + tree reduction, still in affine coordinates.
 
 M is data-dependent: it is measured on device, pulled to host once per call,
 and rounded up to the nearest 2^k or 3*2^k so the jitted kernel is reused
-across calls (distinct (N, M) pairs each compile once).  The first tree
-level runs the dedicated affine+affine formula (inputs are still the
-gathered affine points — ~2x cheaper than jac+jac).
+across calls (distinct (N, M, G) triples each compile once).
 
 Multi-chip: the bucket decomposition distributes over point shards, so the
 sharded MSM in parallel/msm_sharded.py runs this kernel per shard and
@@ -32,16 +37,20 @@ jac-adds the D partial results (one tiny collective).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..fields.params import CurveParams
+from . import poly
 from .curve import CurveOps, curve_ops
 
 WINDOW_BITS = 8
 NUM_BUCKETS = (1 << WINDOW_BITS) - 1  # digit 0 excluded
+# HBM budget for one window group's gathered level-0 tree input
+_GROUP_HBM_BUDGET = int(os.environ.get("AP_MSM_GROUP_HBM", str(1 << 30)))
 
 
 def scalar_digits(scalars, nbytes: int = 32) -> np.ndarray:
@@ -106,15 +115,40 @@ class MsmCtx:
         )
         return jnp.max(jnp.diff(pos, axis=1))
 
-    def _window_buckets_fn(self, n: int, m: int):
-        """Jitted per-window bucket reduction for static (N, M)."""
-        key = (n, m)
+    def _aff_tree_add(self, a, b):
+        """Batch-affine complete add of two equally-shaped [..., 2, L] arrays
+        sharing one log-depth batch inversion across all lanes."""
+        ops = self.ops
+        den, flags = ops.aff_add_denominator(a, b)
+        flat = den.reshape(-1, den.shape[-1])
+        inv = poly.batch_inverse_tree(ops.f, flat).reshape(den.shape)
+        return ops.aff_add_with_inv(a, b, inv, flags)
+
+    def _aff_reduce_axis(self, pts, axis: int):
+        """Tree-reduce an axis of an affine [...]-array with batch-affine
+        adds; odd levels are padded with one infinity column."""
+        pts = jnp.moveaxis(pts, axis, 0)
+        mm = pts.shape[0]
+        while mm > 1:
+            if mm % 2:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((1,) + pts.shape[1:], jnp.int32)], axis=0
+                )
+                mm += 1
+            h = mm // 2
+            pts = self._aff_tree_add(pts[:h], pts[h:])
+            mm = h
+        return pts[0]
+
+    def _window_buckets_fn(self, n: int, m: int, g: int):
+        """Jitted bucket reduction over a group of g windows for static
+        (N, M, G): [g, N] digits -> [g, 255, 2, L] affine bucket sums."""
+        key = (n, m, g)
         if key in self._window_fn_cache:
             return self._window_fn_cache[key]
         ops = self.ops
 
-        def fn(points_pad, digits_w):
-            # points_pad: [N+1, 2, L] affine with points_pad[N] = (0,0) = inf
+        def gather_idx(digits_w):
             order = jnp.argsort(digits_w)
             sorted_d = digits_w[order]
             dvals = jnp.arange(1, 1 << WINDOW_BITS, dtype=jnp.int32)
@@ -124,51 +158,28 @@ class MsmCtx:
             offs = jnp.arange(m, dtype=jnp.int32)
             idx = left[:, None] + offs[None]           # [255, M]
             valid = offs[None] < counts[:, None]
-            gidx = jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
-            pts = points_pad[gidx]                     # [255, M, 2, L]
-            if m == 1:
-                return ops.affine_to_jac(pts)[:, 0]
-            # level 1 on affine inputs (cheapest formula), then jac tree;
-            # odd levels park the stray element in a carry accumulator
-            half = m // 2
-            jac = ops.aff_add_aff(pts[:, :half], pts[:, half : 2 * half])
-            carry = (
-                ops.affine_to_jac(pts[:, -1]) if m % 2 else None
-            )                                          # [255, 3, L]
-            mm = half
-            while mm > 1:
-                h2 = mm // 2
-                if mm % 2:
-                    stray = jac[:, -1]
-                    carry = (
-                        stray if carry is None else ops.jac_add(carry, stray)
-                    )
-                jac = ops.jac_add(jac[:, :h2], jac[:, h2 : 2 * h2])
-                mm = h2
-            out = jac[:, 0]
-            if carry is not None:
-                out = ops.jac_add(out, carry)
-            return out                                 # [255, 3, L]
+            return jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
+
+        def fn(points_pad, digits_g):
+            # points_pad: [N+1, 2, L] affine with points_pad[N] = (0,0) = inf
+            gidx = jax.vmap(gather_idx)(digits_g)      # [g, 255, M]
+            pts = points_pad[gidx]                     # [g, 255, M, 2, L]
+            return self._aff_reduce_axis(pts, 2)       # [g, 255, 2, L]
 
         jfn = jax.jit(fn)
         self._window_fn_cache[key] = jfn
         return jfn
 
     def _suffix_combine_impl(self, buckets):
-        """sum_d d * B_d per window via running suffix sums.
-        buckets: [nw, 255, 3, L] -> [nw, 3, L]."""
-        ops = self.ops
-        nw = buckets.shape[0]
-        init = (ops.jac_infinity((nw,)), ops.jac_infinity((nw,)))
-
-        def body(i, acc):
-            running, total = acc
-            running = ops.jac_add(running, buckets[:, NUM_BUCKETS - 1 - i])
-            total = ops.jac_add(total, running)
-            return running, total
-
-        _, total = jax.lax.fori_loop(0, NUM_BUCKETS, body, init)
-        return total
+        """sum_d d * B_d per window = sum over k of the bucket suffix sums
+        S_k = sum_{d >= k} B_d: a log-depth associative scan over the bucket
+        axis followed by a tree reduction, all batch-affine.
+        buckets: [nw, 255, 2, L] affine -> [nw, 3, L] jacobian."""
+        suffix = jax.lax.associative_scan(
+            self._aff_tree_add, buckets, axis=1, reverse=True
+        )
+        total = self._aff_reduce_axis(suffix, 1)       # [nw, 2, L]
+        return self.ops.affine_to_jac(total)
 
     def _fold_step_impl(self, acc, window_sum):
         """acc = acc * 2^WINDOW_BITS + window_sum (Horner over windows)."""
@@ -198,10 +209,19 @@ class MsmCtx:
 
         inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
         points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
-        wfn = self._window_buckets_fn(n, m)
 
         nw = digits.shape[0]
-        buckets = jnp.stack([wfn(points_pad, digits[w]) for w in range(nw)])
+        # group windows so per-level batch inversions amortize, bounded by an
+        # HBM budget on the gathered [G, 255, M, 2, L] level-0 tree input
+        level0_bytes = NUM_BUCKETS * m * 2 * self.ops.L * 4
+        g = max(1, min(nw, _GROUP_HBM_BUDGET // max(level0_bytes, 1)))
+        while nw % g:
+            g -= 1
+        wfn = self._window_buckets_fn(n, m, g)
+
+        buckets = jnp.concatenate(
+            [wfn(points_pad, digits[w : w + g]) for w in range(0, nw, g)]
+        )                                              # [nw, 255, 2, L] affine
         window_sums = self._suffix_combine(buckets)    # [nw, 3, L]
 
         acc = self.ops.jac_infinity()

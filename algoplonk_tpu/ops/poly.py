@@ -78,6 +78,36 @@ def batch_inverse(f: FieldOps, v):
     return f.select(is_zero, jnp.zeros_like(v), inv)
 
 
+def batch_inverse_tree(f: FieldOps, v, stop: int = 256):
+    """Elementwise inverse via a product *tree* (Montgomery trick, log-depth).
+
+    Unlike batch_inverse (blocked prefix scans — O(sqrt n) sequential steps),
+    this runs 2*log2(n/stop) wide vector levels plus ONE batched Fermat
+    inversion at width <= stop, so it is the right shape for latency-sensitive
+    inner loops (the MSM bucket tree calls it once per level).  n is padded to
+    a power of two internally.  inv(0) lanes return 0.
+    """
+    n, L = v.shape
+    n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+    is_zero = f.is_zero(v)
+    x = f.select(is_zero, jnp.broadcast_to(f.one, v.shape), v)
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(f.one, (n_pad - n, L)).astype(jnp.int32)], axis=0
+        )
+    levels = []
+    while x.shape[0] > stop:
+        levels.append(x)
+        x = f.mul(x[0::2], x[1::2])
+    inv = f.inv(x)
+    for lev in reversed(levels):
+        il = f.mul(inv, lev[1::2])
+        ir = f.mul(inv, lev[0::2])
+        inv = jnp.stack([il, ir], axis=1).reshape(lev.shape[0], L)
+    inv = inv[:n]
+    return f.select(is_zero, jnp.zeros_like(v), inv)
+
+
 def powers(f: FieldOps, x_limbs, n: int):
     """[n, L] table of 1, x, x^2, ..., x^(n-1) (x a single [L] element).
     Internally padded to a power of two to keep the scan blocked."""
