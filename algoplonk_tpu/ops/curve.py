@@ -1,21 +1,30 @@
-"""Batched G1 elliptic-curve arithmetic on TPU (Jacobian coordinates).
+"""Batched G1 elliptic-curve arithmetic on TPU (homogeneous projective).
 
 Replaces gnark-crypto's multicore CPU point arithmetic (the native layer under
-plonk.Prove, reference algoplonk.go:89) with select-based *complete* batched
-formulas: every lane computes both the generic-add and the doubling path and
-selects, so a single vectorized op handles arbitrary point mixtures (including
-padding lanes holding the point at infinity) with no data-dependent branching —
-exactly what XLA/TPU want.
+plonk.Prove, reference algoplonk.go:89) with the Renes-Costello-Batina (2015)
+*complete* projective formulas for a = 0 short Weierstrass curves: a single
+branch-free polynomial formula handles every input combination — generic adds,
+doublings, inverses, and the point at infinity (0 : 1 : 0) — with no selects
+and no embedded doubling path.  Completeness requires the Fp-rational point
+group to have odd order, which holds for both BN254 (prime order) and
+BLS12-381 G1 (odd cofactor times prime), the same property the batch-affine
+MSM path already relies on.
 
-Representation: Jacobian [..., 3, L] int32 (X, Y, Z limbs, Montgomery form);
-Z == 0 marks the point at infinity.  Affine points are [..., 2, L]; (0, 0)
-marks affine infinity, matching the serialization convention.
+This is both faster (12M complete add vs ~16M+5S plus an embedded doubling
+for select-based complete Jacobian) and far cheaper to compile — graph size
+is a first-class constraint on this host (see ops/field.py).
+
+Representation: projective [..., 3, L] int32 (X, Y, Z limbs, Montgomery
+form); Z == 0 marks the point at infinity (canonically (0, 1, 0)).  Affine
+points are [..., 2, L]; (0, 0) marks affine infinity, matching the
+serialization convention.  Method names retain the jac_* prefix of the
+earlier Jacobian implementation so call sites read unchanged; the coordinate
+convention is an internal detail (decode goes through to_affine).
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -26,31 +35,6 @@ from ..fields import limbs as limbs_mod
 from .field import FieldOps, field_ops
 
 
-def _flatten_leading_2(fn):
-    """Adapt a [N, rows, L]-shaped binary pallas kernel to the CurveOps
-    calling convention: arbitrary (broadcastable) leading batch dims."""
-
-    def wrapped(p, q):
-        lead = jnp.broadcast_shapes(p.shape[:-2], q.shape[:-2])
-        p = jnp.broadcast_to(p, lead + p.shape[-2:])
-        q = jnp.broadcast_to(q, lead + q.shape[-2:])
-        n = int(np.prod(lead)) if lead else 1
-        out = fn(p.reshape((n,) + p.shape[-2:]), q.reshape((n,) + q.shape[-2:]))
-        return out.reshape(lead + out.shape[-2:])
-
-    return wrapped
-
-
-def _flatten_leading_1(fn):
-    def wrapped(p):
-        lead = p.shape[:-2]
-        n = int(np.prod(lead)) if lead else 1
-        out = fn(p.reshape((n,) + p.shape[-2:]))
-        return out.reshape(lead + out.shape[-2:])
-
-    return wrapped
-
-
 class CurveOps:
     def __init__(self, curve: CurveParams):
         self.curve = curve
@@ -58,6 +42,10 @@ class CurveOps:
         self.L = curve.fp.nlimbs
         self.b_mont = jnp.asarray(
             limbs_mod.ints_to_mont_limbs([curve.b], curve.fp)[0]
+        )
+        self.b3_mont = jnp.asarray(
+            limbs_mod.ints_to_mont_limbs([3 * curve.b % curve.fp.modulus],
+                                         curve.fp)[0]
         )
         g = curve.g1
         self.g1_gen_affine = jnp.asarray(
@@ -69,166 +57,109 @@ class CurveOps:
         self.aff_add_aff = jax.jit(self.aff_add_aff)
         self.to_affine = jax.jit(self.to_affine)
         self.scalar_mul = jax.jit(self.scalar_mul)
-        if os.environ.get("AP_PALLAS") == "1":
-            # A/B switch: fused Pallas point kernels (ops/curve_pallas.py)
-            # replace the XLA-composed formulas for the hot binary ops; the
-            # XLA path stays the reference implementation.
-            from .curve_pallas import (
-                pallas_aff_add_aff,
-                pallas_jac_add,
-                pallas_jac_double,
-            )
-
-            self.jac_add = _flatten_leading_2(pallas_jac_add(curve))
-            self.aff_add_aff = _flatten_leading_2(pallas_aff_add_aff(curve))
-            self.jac_double = _flatten_leading_1(pallas_jac_double(curve))
 
     # -------------------------------------------------------------- converts
 
     def affine_to_jac(self, pts):
-        """[..., 2, L] affine -> [..., 3, L] jacobian ((0,0) -> infinity)."""
+        """[..., 2, L] affine -> [..., 3, L] projective ((0,0) -> (0,1,0))."""
         f = self.f
         x, y = pts[..., 0, :], pts[..., 1, :]
         is_inf = f.is_zero(x) & f.is_zero(y)
         one = jnp.broadcast_to(f.one, x.shape)
         z = f.select(is_inf, jnp.zeros_like(x), one)
+        y = f.select(is_inf, one, y)
         return jnp.stack([x, y, z], axis=-2)
 
     def jac_infinity(self, shape=()):
-        return jnp.zeros(shape + (3, self.L), jnp.int32)
+        """The identity (0 : 1 : 0), broadcast over leading ``shape``."""
+        f = self.f
+        x = jnp.zeros(shape + (self.L,), jnp.int32)
+        y = jnp.broadcast_to(f.one, shape + (self.L,)).astype(jnp.int32)
+        return jnp.stack([x, y, x], axis=-2)
 
     # ------------------------------------------------------------------- ops
 
     def jac_double(self, p):
-        """Complete Jacobian doubling (a = 0 curves)."""
+        """Complete projective doubling, a = 0 (EFD dbl-2015-rcb: 6M+2S)."""
         f = self.f
         X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-        A = f.square(X)
-        B = f.square(Y)
-        C = f.square(B)
-        t = f.square(f.add(X, B))
-        D = f.add(f.sub(f.sub(t, A), C), f.sub(f.sub(t, A), C))  # 2((X+B)^2-A-C)
-        E = f.add(f.add(A, A), A)
-        F = f.square(E)
-        X3 = f.sub(F, f.add(D, D))
-        C8 = f.add(f.add(f.add(C, C), f.add(C, C)), f.add(f.add(C, C), f.add(C, C)))
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), C8)
-        Z3 = f.add(f.mul(Y, Z), f.mul(Y, Z))
-        return jnp.stack([X3, Y3, Z3], axis=-2)
+        b3 = self.b3_mont  # [L]; field ops broadcast
+        t0 = f.square(Y)
+        z3 = f.add(t0, t0)
+        z3 = f.add(z3, z3)
+        z3 = f.add(z3, z3)
+        t1 = f.mul(Y, Z)
+        t2 = f.square(Z)
+        t2 = f.mul(b3, t2)
+        x3 = f.mul(t2, z3)
+        y3 = f.add(t0, t2)
+        z3 = f.mul(t1, z3)
+        t1 = f.add(t2, t2)
+        t2 = f.add(t1, t2)
+        t0 = f.sub(t0, t2)
+        y3 = f.mul(t0, y3)
+        y3 = f.add(x3, y3)
+        t1 = f.mul(X, Y)
+        x3 = f.mul(t0, t1)
+        x3 = f.add(x3, x3)
+        return jnp.stack([x3, y3, z3], axis=-2)
 
     def jac_add(self, p, q):
-        """Complete Jacobian + Jacobian addition via branchless select."""
+        """Complete projective + projective addition, a = 0
+        (EFD add-2015-rcb: 12M, branch-free, handles infinity/doubling)."""
         f = self.f
         X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-        Z1Z1 = f.square(Z1)
-        Z2Z2 = f.square(Z2)
-        U1 = f.mul(X1, Z2Z2)
-        U2 = f.mul(X2, Z1Z1)
-        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
-        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-        H = f.sub(U2, U1)
-        R = f.sub(S2, S1)
-        HH = f.square(H)
-        HHH = f.mul(H, HH)
-        V = f.mul(U1, HH)
-        RR = f.square(R)
-        X3 = f.sub(f.sub(RR, HHH), f.add(V, V))
-        Y3 = f.sub(f.mul(R, f.sub(V, X3)), f.mul(S1, HHH))
-        Z3 = f.mul(f.mul(Z1, Z2), H)
-        generic = jnp.stack([X3, Y3, Z3], axis=-2)
-
-        dbl = self.jac_double(p)
-        p_inf = f.is_zero(Z1)
-        q_inf = f.is_zero(Z2)
-        h_zero = f.is_zero(H)
-        r_zero = f.is_zero(R)
-        both = ~p_inf & ~q_inf
-
-        out = generic
-        # same x: either doubling (same y) or P + (-P) = infinity
-        out = jnp.where((both & h_zero & r_zero)[..., None, None], dbl, out)
-        out = jnp.where(
-            (both & h_zero & ~r_zero)[..., None, None], jnp.zeros_like(out), out
-        )
-        out = jnp.where(p_inf[..., None, None], q, out)
-        out = jnp.where(q_inf[..., None, None], p, out)
-        return out
+        b3 = self.b3_mont  # [L]; field ops broadcast
+        t0 = f.mul(X1, X2)
+        t1 = f.mul(Y1, Y2)
+        t2 = f.mul(Z1, Z2)
+        t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
+        t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
+        t4 = f.mul(f.add(Y1, Z1), f.add(Y2, Z2))
+        t4 = f.sub(t4, f.add(t1, t2))            # Y1Z2 + Y2Z1
+        t5 = f.mul(f.add(X1, Z1), f.add(X2, Z2))
+        t5 = f.sub(t5, f.add(t0, t2))            # X1Z2 + X2Z1
+        t0 = f.add(f.add(t0, t0), t0)            # 3 X1X2
+        t2 = f.mul(b3, t2)                       # b3 Z1Z2
+        z3 = f.add(t1, t2)                       # Y1Y2 + b3 Z1Z2
+        t1 = f.sub(t1, t2)                       # Y1Y2 - b3 Z1Z2
+        y3 = f.mul(b3, t5)                       # b3 (X1Z2 + X2Z1)
+        x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
+        y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
+        z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+        return jnp.stack([x3, y3, z3], axis=-2)
 
     def jac_add_affine(self, p, q_affine):
-        """Jacobian + affine mixed addition (affine (0,0) = infinity)."""
+        """Projective + affine mixed addition (affine (0,0) = infinity):
+        the RCB mixed formula (11M) plus one select for the affine-infinity
+        lanes (the only case Z2 = 1 cannot represent)."""
         f = self.f
         X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
-        Z1Z1 = f.square(Z1)
-        U2 = f.mul(X2, Z1Z1)
-        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-        H = f.sub(U2, X1)
-        R = f.sub(S2, Y1)
-        HH = f.square(H)
-        HHH = f.mul(H, HH)
-        V = f.mul(X1, HH)
-        RR = f.square(R)
-        X3 = f.sub(f.sub(RR, HHH), f.add(V, V))
-        Y3 = f.sub(f.mul(R, f.sub(V, X3)), f.mul(Y1, HHH))
-        Z3 = f.mul(Z1, H)
-        generic = jnp.stack([X3, Y3, Z3], axis=-2)
-
-        dbl = self.jac_double(p)
-        p_inf = f.is_zero(Z1)
+        b3 = self.b3_mont  # [L]; field ops broadcast
+        t0 = f.mul(X1, X2)
+        t1 = f.mul(Y1, Y2)
+        t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
+        t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
+        t4 = f.add(f.mul(Y2, Z1), Y1)            # Y1 + Y2Z1
+        t5 = f.add(f.mul(X2, Z1), X1)            # X1 + X2Z1
+        t0 = f.add(f.add(t0, t0), t0)            # 3 X1X2
+        t2 = f.mul(b3, Z1)                       # b3 Z1
+        z3 = f.add(t1, t2)
+        t1 = f.sub(t1, t2)
+        y3 = f.mul(b3, t5)
+        x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
+        y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
+        z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+        out = jnp.stack([x3, y3, z3], axis=-2)
         q_inf = f.is_zero(X2) & f.is_zero(Y2)
-        h_zero = f.is_zero(H)
-        r_zero = f.is_zero(R)
-        both = ~p_inf & ~q_inf
-
-        out = generic
-        out = jnp.where((both & h_zero & r_zero)[..., None, None], dbl, out)
-        out = jnp.where(
-            (both & h_zero & ~r_zero)[..., None, None], jnp.zeros_like(out), out
-        )
-        out = jnp.where(p_inf[..., None, None], self.affine_to_jac(q_affine), out)
-        out = jnp.where(q_inf[..., None, None], p, out)
-        return out
+        return jnp.where(q_inf[..., None, None], p, out)
 
     def aff_add_aff(self, p_affine, q_affine):
-        """Complete affine + affine addition -> Jacobian.
-
-        The cheapest add in the repertoire (Z1 = Z2 = 1 drops all the Z
-        algebra: 4M+2S generic path vs 11M+5S for jac+jac) — used for the
-        first level of the MSM bucket tree, where all inputs are still the
-        gathered affine SRS points."""
-        f = self.f
-        X1, Y1 = p_affine[..., 0, :], p_affine[..., 1, :]
-        X2, Y2 = q_affine[..., 0, :], q_affine[..., 1, :]
-        H = f.sub(X2, X1)
-        R = f.sub(Y2, Y1)
-        HH = f.square(H)
-        HHH = f.mul(H, HH)
-        V = f.mul(X1, HH)
-        RR = f.square(R)
-        X3 = f.sub(f.sub(RR, HHH), f.add(V, V))
-        Y3 = f.sub(f.mul(R, f.sub(V, X3)), f.mul(Y1, HHH))
-        generic = jnp.stack([X3, Y3, H], axis=-2)
-
-        dbl = self.jac_double(self.affine_to_jac(p_affine))
-        p_inf = f.is_zero(X1) & f.is_zero(Y1)
-        q_inf = f.is_zero(X2) & f.is_zero(Y2)
-        h_zero = f.is_zero(H)
-        r_zero = f.is_zero(R)
-        both = ~p_inf & ~q_inf
-
-        out = generic
-        out = jnp.where((both & h_zero & r_zero)[..., None, None], dbl, out)
-        out = jnp.where(
-            (both & h_zero & ~r_zero)[..., None, None], jnp.zeros_like(out), out
-        )
-        out = jnp.where(
-            p_inf[..., None, None], self.affine_to_jac(q_affine), out
-        )
-        out = jnp.where(
-            q_inf[..., None, None], self.affine_to_jac(p_affine), out
-        )
-        return out
+        """Complete affine + affine addition -> projective (via the complete
+        mixed formula; (0,0) = affine infinity on either side)."""
+        return self.jac_add_affine(self.affine_to_jac(p_affine), q_affine)
 
     def aff_add_denominator(self, p_affine, q_affine):
         """Denominator of the affine chord/tangent slope for P+Q, with 1
@@ -236,10 +167,10 @@ class CurveOps:
         inversion never sees zero.  Returns ([..., L] denoms, flags tuple).
 
         Used by the MSM bucket tree: one tree level = one batched inversion
-        (poly.batch_inverse_tree) + aff_add_with_inv — ~2S+5M per add vs
-        ~16M+9S for the complete Jacobian formulas.  Completeness relies on
-        BN254/BLS12-381 G1 having no 2-torsion over Fp (odd group order), so
-        doubling a y = 0 point cannot occur.
+        (poly.batch_inverse_tree) + aff_add_with_inv — ~2S+5M+3M(inv share)
+        per add vs ~12M for the complete projective formulas.  Completeness
+        relies on BN254/BLS12-381 G1 having no 2-torsion over Fp (odd group
+        order), so doubling a y = 0 point cannot occur.
         """
         f = self.f
         x1, y1 = p_affine[..., 0, :], p_affine[..., 1, :]
@@ -275,16 +206,15 @@ class CurveOps:
         return out
 
     def to_affine(self, p):
-        """Jacobian -> affine; infinity maps to (0, 0)."""
+        """Projective -> affine; infinity maps to (0, 0)."""
         f = self.f
         X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         is_inf = f.is_zero(Z)
         # avoid inv(0): substitute 1 for infinity lanes
         z_safe = f.select(is_inf, jnp.broadcast_to(f.one, Z.shape), Z)
         zi = f.inv(z_safe)
-        zi2 = f.square(zi)
-        x = f.mul(X, zi2)
-        y = f.mul(Y, f.mul(zi, zi2))
+        x = f.mul(X, zi)
+        y = f.mul(Y, zi)
         x = f.select(is_inf, jnp.zeros_like(x), x)
         y = f.select(is_inf, jnp.zeros_like(y), y)
         return jnp.stack([x, y], axis=-2)
@@ -293,7 +223,7 @@ class CurveOps:
         """Batched variable-base scalar mul, MSB-first double-and-add.
 
         pts_affine: [..., 2, L]; scalar_bits: [..., nbits] int32 (MSB first).
-        Returns Jacobian [..., 3, L].
+        Returns projective [..., 3, L].
         """
         nbits = scalar_bits.shape[-1]
         acc0 = self.jac_infinity(pts_affine.shape[:-2])

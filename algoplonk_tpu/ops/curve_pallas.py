@@ -1,12 +1,21 @@
-"""Pallas fused G1 point-operation kernels.
+"""Fused Pallas TPU kernels for the MSM inner loop.
 
-A Jacobian addition is ~16 dependent field multiplies; fusing the whole
-formula into one pallas_call keeps every intermediate in VMEM and issues one
-HBM read per input point and one write per output — the speed-of-light
-pattern for this bandwidth-bound workload.
+The MSM bucket accumulation (ops/msm.py) spends its whole life in one
+operation: acc <- acc + P with acc projective and P affine (complete RCB
+mixed addition, ~12 field muls).  Composed from XLA primitives, every field
+multiply round-trips its [*, 2L] intermediates through HBM at fusion
+boundaries, capping throughput near ~27M field muls/s on a v5e chip.  This
+kernel runs the entire mixed addition — all twelve multiplies, carries and
+selects — inside one pallas_call with every intermediate in VMEM.
 
-Enabled in CurveOps via the AP_PALLAS=1 environment variable (A/B against
-the XLA path, which remains the reference).
+Layout: limbs-major [coord, L, B] (batch minor), so the batch axis fills the
+128-lane VPU dimension and limb shifts are sublane moves — see
+ops/field_pallas.py.  The grid tiles the batch axis; B must be a multiple of
+the tile (ops/msm.py pads bucket lanes with the point at infinity, which the
+complete formula absorbs).
+
+Also provides pallas_field_mul, the standalone transposed field multiply
+used by tests and available to other pipelines (NTT butterflies are next).
 """
 
 from __future__ import annotations
@@ -15,194 +24,127 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields.params import CurveParams
-from .field_pallas import field_kernels
+from ..fields.params import CurveParams, FieldParams
+from ..fields import limbs as limbs_mod
+from .field_pallas import FieldVals, field_consts
 
 
-def _jac_add_values(fk, p, q):
-    """Complete Jacobian + Jacobian on loaded values [T, 3, L]."""
-    X1, Y1, Z1 = p[:, 0], p[:, 1], p[:, 2]
-    X2, Y2, Z2 = q[:, 0], q[:, 1], q[:, 2]
-    Z1Z1 = fk.square_v(Z1)
-    Z2Z2 = fk.square_v(Z2)
-    U1 = fk.mul_v(X1, Z2Z2)
-    U2 = fk.mul_v(X2, Z1Z1)
-    S1 = fk.mul_v(fk.mul_v(Y1, Z2), Z2Z2)
-    S2 = fk.mul_v(fk.mul_v(Y2, Z1), Z1Z1)
-    H = fk.sub_v(U2, U1)
-    R = fk.sub_v(S2, S1)
-    HH = fk.square_v(H)
-    HHH = fk.mul_v(H, HH)
-    V = fk.mul_v(U1, HH)
-    RR = fk.square_v(R)
-    X3 = fk.sub_v(fk.sub_v(RR, HHH), fk.add_v(V, V))
-    Y3 = fk.sub_v(fk.mul_v(R, fk.sub_v(V, X3)), fk.mul_v(S1, HHH))
-    Z3 = fk.mul_v(fk.mul_v(Z1, Z2), H)
-    generic = jnp.stack([X3, Y3, Z3], axis=1)
-
-    dbl = _jac_double_values(fk, p)
-    p_inf = fk.is_zero_v(Z1)
-    q_inf = fk.is_zero_v(Z2)
-    h_zero = fk.is_zero_v(H)
-    r_zero = fk.is_zero_v(R)
-    both = ~p_inf & ~q_inf
-
-    out = generic
-    out = jnp.where((both & h_zero & r_zero)[:, None, None], dbl, out)
-    out = jnp.where(
-        (both & h_zero & ~r_zero)[:, None, None], jnp.zeros_like(out), out
-    )
-    out = jnp.where(p_inf[:, None, None], q, out)
-    out = jnp.where(q_inf[:, None, None], p, out)
-    return out
-
-
-def _jac_double_values(fk, p):
-    X, Y, Z = p[:, 0], p[:, 1], p[:, 2]
-    A = fk.square_v(X)
-    B = fk.square_v(Y)
-    C = fk.square_v(B)
-    t = fk.square_v(fk.add_v(X, B))
-    D2 = fk.sub_v(fk.sub_v(t, A), C)
-    D = fk.add_v(D2, D2)
-    E = fk.add_v(fk.add_v(A, A), A)
-    F = fk.square_v(E)
-    X3 = fk.sub_v(F, fk.add_v(D, D))
-    C2 = fk.add_v(C, C)
-    C4 = fk.add_v(C2, C2)
-    C8 = fk.add_v(C4, C4)
-    Y3 = fk.sub_v(fk.mul_v(E, fk.sub_v(D, X3)), C8)
-    Z3 = fk.add_v(fk.mul_v(Y, Z), fk.mul_v(Y, Z))
-    return jnp.stack([X3, Y3, Z3], axis=1)
-
-
-def _affine_to_jac_values(fk, pts):
-    """[T, 2, L] affine -> [T, 3, L] jacobian ((0,0) -> infinity)."""
-    x, y = pts[:, 0], pts[:, 1]
-    is_inf = fk.is_zero_v(x) & fk.is_zero_v(y)
-    one = jnp.broadcast_to(fk.one, x.shape)
-    z = fk.select_v(is_inf, jnp.zeros_like(x), one)
-    return jnp.stack([x, y, z], axis=1)
-
-
-def _aff_add_aff_values(fk, p, q):
-    """Complete affine + affine -> Jacobian on loaded values [T, 2, L]
-    (mirror of CurveOps.aff_add_aff: 4M+2S generic path)."""
-    X1, Y1 = p[:, 0], p[:, 1]
-    X2, Y2 = q[:, 0], q[:, 1]
-    H = fk.sub_v(X2, X1)
-    R = fk.sub_v(Y2, Y1)
-    HH = fk.square_v(H)
-    HHH = fk.mul_v(H, HH)
-    V = fk.mul_v(X1, HH)
-    RR = fk.square_v(R)
-    X3 = fk.sub_v(fk.sub_v(RR, HHH), fk.add_v(V, V))
-    Y3 = fk.sub_v(fk.mul_v(R, fk.sub_v(V, X3)), fk.mul_v(Y1, HHH))
-    generic = jnp.stack([X3, Y3, H], axis=1)
-
-    dbl = _jac_double_values(fk, _affine_to_jac_values(fk, p))
-    p_inf = fk.is_zero_v(X1) & fk.is_zero_v(Y1)
-    q_inf = fk.is_zero_v(X2) & fk.is_zero_v(Y2)
-    h_zero = fk.is_zero_v(H)
-    r_zero = fk.is_zero_v(R)
-    both = ~p_inf & ~q_inf
-
-    out = generic
-    out = jnp.where((both & h_zero & r_zero)[:, None, None], dbl, out)
-    out = jnp.where(
-        (both & h_zero & ~r_zero)[:, None, None], jnp.zeros_like(out), out
-    )
-    out = jnp.where(p_inf[:, None, None], _affine_to_jac_values(fk, q), out)
-    out = jnp.where(q_inf[:, None, None], _affine_to_jac_values(fk, p), out)
-    return out
-
-
-def _interpret_default() -> bool:
-    """Pallas TPU kernels only execute natively on TPU; fall back to the
-    interpreter elsewhere (CPU test meshes)."""
+def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _binary_point_call(curve, values_fn, rows: int, tile: int,
-                       interpret: bool | None):
-    fk = field_kernels(curve.fp)
-    L = fk.L
-    consts = jnp.asarray(fk.consts())
-    interp = _interpret_default() if interpret is None else interpret
+def _curve_consts(curve: CurveParams) -> np.ndarray:
+    """[4, L]: p, -p^-1, one (Montgomery), 3b (Montgomery)."""
+    b3 = limbs_mod.ints_to_mont_limbs(
+        [3 * curve.b % curve.fp.modulus], curve.fp
+    )[0]
+    return np.concatenate(
+        [field_consts(curve.fp), np.asarray(b3, np.int32)[None]]
+    )
 
-    def kernel(c_ref, p_ref, q_ref, o_ref):
-        fkb = fk.bind(c_ref[:])
-        o_ref[:] = values_fn(fkb, p_ref[:], q_ref[:])
 
-    @jax.jit
-    def run(p, q):
-        n = p.shape[0]
-        grid = (pl.cdiv(n, tile),)
-        const_spec = pl.BlockSpec(
-            (3, L), lambda i: (0, 0), memory_space=pltpu.VMEM
+def _mixed_add_body(f: FieldVals, b3, acc, pts):
+    """RCB complete mixed add (a=0) in limbs-major values.
+    acc: (X1, Y1, Z1) each [L, T]; pts: (X2, Y2).  Returns (x3, y3, z3)."""
+    X1, Y1, Z1 = acc
+    X2, Y2 = pts
+    t0 = f.mul(X1, X2)
+    t1 = f.mul(Y1, Y2)
+    t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
+    t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
+    t4 = f.add(f.mul(Y2, Z1), Y1)            # Y1 + Y2Z1
+    t5 = f.add(f.mul(X2, Z1), X1)            # X1 + X2Z1
+    t0 = f.add(f.add(t0, t0), t0)            # 3 X1X2
+    t2 = f.mul(b3, Z1)                       # b3 Z1
+    z3 = f.add(t1, t2)
+    t1 = f.sub(t1, t2)
+    y3 = f.mul(b3, t5)
+    x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
+    y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
+    z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+    q_inf = f.is_zero(X2) & f.is_zero(Y2)    # [T]
+    x3 = jnp.where(q_inf[None], X1, x3)
+    y3 = jnp.where(q_inf[None], Y1, y3)
+    z3 = jnp.where(q_inf[None], Z1, z3)
+    return x3, y3, z3
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_mixed_add(curve: CurveParams, tile: int = 512):
+    """Jittable fused complete mixed add:
+    (acc [3, L, B], pts [2, L, B]) -> [3, L, B], B a multiple of ``tile``."""
+    L = curve.fp.nlimbs
+    consts = jnp.asarray(_curve_consts(curve))
+
+    def kernel(consts_ref, acc_ref, pts_ref, out_ref):
+        f = FieldVals(curve.fp, consts_ref[:3])
+        b3 = consts_ref[3][:, None]
+        x3, y3, z3 = _mixed_add_body(
+            f,
+            b3,
+            (acc_ref[0], acc_ref[1], acc_ref[2]),
+            (pts_ref[0], pts_ref[1]),
         )
-        in_spec = pl.BlockSpec(
-            (tile, rows, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_spec = pl.BlockSpec(
-            (tile, 3, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
+        out_ref[0] = x3
+        out_ref[1] = y3
+        out_ref[2] = z3
+
+    def run(acc, pts):
+        b = acc.shape[-1]
+        assert b % tile == 0, (b, tile)
+        grid = (b // tile,)
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n, 3, L), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((3, L, b), jnp.int32),
             grid=grid,
-            in_specs=[const_spec, in_spec, in_spec],
-            out_specs=out_spec,
-            interpret=interp,
-        )(consts, p, q)
+            in_specs=[
+                pl.BlockSpec((4, L), lambda i: (0, 0)),
+                pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+                pl.BlockSpec((2, L, tile), lambda i: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+            interpret=_interpret(),
+        )(consts, acc, pts)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_jac_add(curve: CurveParams, tile: int = 256,
-                   interpret: bool | None = None):
-    """Fused [N, 3, L] + [N, 3, L] -> [N, 3, L] Jacobian addition."""
-    return _binary_point_call(curve, _jac_add_values, 3, tile, interpret)
+def pallas_field_mul(fp: FieldParams, tile: int = 2048):
+    """Standalone fused Montgomery multiply in the standard [N, L] layout
+    (transposed to limbs-major internally): validates the kernel field
+    pipeline against ops/field.py and serves as the template for fusing
+    other pipelines."""
+    L = fp.nlimbs
+    consts = jnp.asarray(field_consts(fp))
 
+    def kernel(consts_ref, a_ref, b_ref, out_ref):
+        f = FieldVals(fp, consts_ref[:])
+        out_ref[:] = f.mul(a_ref[:], b_ref[:])
 
-@functools.lru_cache(maxsize=None)
-def pallas_aff_add_aff(curve: CurveParams, tile: int = 256,
-                       interpret: bool | None = None):
-    """Fused [N, 2, L] affine + affine -> [N, 3, L] Jacobian."""
-    return _binary_point_call(curve, _aff_add_aff_values, 2, tile, interpret)
-
-
-@functools.lru_cache(maxsize=None)
-def pallas_jac_double(curve: CurveParams, tile: int = 256,
-                      interpret: bool | None = None):
-    fk = field_kernels(curve.fp)
-    L = fk.L
-    consts = jnp.asarray(fk.consts())
-    interp = _interpret_default() if interpret is None else interpret
-
-    def kernel(c_ref, p_ref, o_ref):
-        fkb = fk.bind(c_ref[:])
-        o_ref[:] = _jac_double_values(fkb, p_ref[:])
-
-    @jax.jit
-    def run(p):
-        n = p.shape[0]
-        grid = (pl.cdiv(n, tile),)
-        const_spec = pl.BlockSpec(
-            (3, L), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        spec = pl.BlockSpec((tile, 3, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+    def run(a, b):
+        # a, b: [N, L] canonical Montgomery
+        n = a.shape[0]
+        pad = (-n) % tile
+        aT = jnp.pad(a, [(0, pad), (0, 0)]).T
+        bT = jnp.pad(b, [(0, pad), (0, 0)]).T
+        grid = ((n + pad) // tile,)
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n, 3, L), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((L, n + pad), jnp.int32),
             grid=grid,
-            in_specs=[const_spec, spec],
-            out_specs=spec,
-            interpret=interp,
-        )(consts, p)
+            in_specs=[
+                pl.BlockSpec((3, L), lambda i: (0, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((L, tile), lambda i: (0, i)),
+            interpret=_interpret(),
+        )(consts, aT, bT)
+        return out.T[:n]
 
-    return run
+    return jax.jit(run)

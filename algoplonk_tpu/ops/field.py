@@ -5,20 +5,40 @@ reference's hot native layer, invoked from /root/reference/algoplonk.go:89 via
 plonk.Prove) with a TPU-native design:
 
 * field elements are ``[..., L]`` int32 arrays of 12-bit little-endian limbs
-  (Montgomery form) — every intermediate of the schoolbook multiplier and the
-  coarse REDC fits an int32 vector lane, so the whole pipeline runs on the VPU
-  with no emulated 64-bit arithmetic;
+  (Montgomery form, canonical: every limb < 2^12 and the value < p) — every
+  intermediate of the multiplier and the coarse REDC fits an int32 vector
+  lane, so the whole pipeline runs on the VPU with no emulated 64-bit
+  arithmetic;
 * all operations are batched over leading axes, so a single op processes an
   entire polynomial/point vector — this is what keeps the TPU busy.
 
-The inner limb loops are static Python loops (L is a compile-time constant),
-so XLA sees straight-line vector code and fuses aggressively.  A fused Pallas
+HLO-graph economy is a first-class design constraint (this host compiles at
+milliseconds *per op*, on the 2-core CPU backend and through the remote TPU
+compile tunnel alike), so the classic schoolbook/ripple structure is replaced
+by constructs that emit O(1)..O(log L) primitives instead of O(L)..O(L^2):
+
+* limb products: either ONE broadcast outer product + a static anti-diagonal
+  gather + sum (3 ops; best on the CPU backend) or L fused shift-and-add
+  rounds (3L ops; measured ~5x faster at runtime on TPU, where the gather
+  both bloats compile time and serializes) — selected per backend, see
+  _mul_cols;
+* carry handling: a few *relaxation* passes (x -> (x & mask) + (x >> 12)
+  shifted up one limb; each pass shrinks the excess by 12 bits) bound every
+  limb by 2^12, then ONE Kogge-Stone carry-lookahead (log2(L) steps over
+  generate/propagate bits) produces the exact canonical form — ~40 ops
+  instead of a 3L-op sequential ripple chain;
+* borrows (comparison / conditional subtract) use the same Kogge-Stone
+  structure on (negative, zero) flags.
+
+The inner structure is static Python (L is a compile-time constant), so XLA
+sees straight-line vector code and fuses aggressively.  A fused Pallas
 variant for the hottest call sites lives in ops/field_pallas.py.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +48,31 @@ from ..fields.params import LIMB_BITS, LIMB_MASK, FieldParams
 from ..fields import limbs as limbs_mod
 
 
+def _shift_up(x, s: int):
+    """Move limb k to limb k+s (value * 2^(12 s)); drops the top s limbs
+    (callers guarantee the dropped carries are zero — see _relax)."""
+    pads = [(0, 0)] * (x.ndim - 1) + [(s, 0)]
+    return jnp.pad(x, pads)[..., : x.shape[-1]]
+
+
+def _antidiag_index(L: int) -> np.ndarray:
+    """[2L, L] flat indices into an [L*L (+1 zero-slot)] outer product such
+    that row k collects every t[i, j] with i + j == k (padded with the
+    zero-slot index L*L)."""
+    idx = np.full((2 * L, L), L * L, dtype=np.int32)
+    for k in range(2 * L):
+        cnt = 0
+        for i in range(max(0, k - L + 1), min(L - 1, k) + 1):
+            idx[k, cnt] = i * L + (k - i)
+            cnt += 1
+    return idx
+
+
 class FieldOps:
     """Batched field arithmetic bound to one prime field.
 
-    All inputs/outputs are int32 arrays shaped ``[..., L]`` holding Montgomery
-    residues unless a method says otherwise.
+    All inputs/outputs are int32 arrays shaped ``[..., L]`` holding canonical
+    Montgomery residues unless a method says otherwise.
     """
 
     def __init__(self, fp: FieldParams):
@@ -43,6 +83,13 @@ class FieldOps:
         self.one = jnp.asarray(limbs_mod.int_to_limbs(fp.r, fp))  # 1 in Mont form
         self.r2 = jnp.asarray(limbs_mod.int_to_limbs(fp.r2, fp))
         self.zero = jnp.zeros((self.L,), jnp.int32)
+        # backend-dependent column-sum strategy (see _mul_cols); overridable
+        # for A/B testing via AP_FIELD_COLS=gather|pad
+        mode = os.environ.get("AP_FIELD_COLS", "")
+        if mode not in ("gather", "pad"):
+            mode = "gather" if jax.default_backend() == "cpu" else "pad"
+        self._gather_cols = mode == "gather"
+        self._adidx = jnp.asarray(_antidiag_index(self.L))       # [2L, L]
         # modulus - 2 bits (msb first) for Fermat inversion
         e = fp.modulus - 2
         self.inv_exp_bits = jnp.asarray(
@@ -62,106 +109,128 @@ class FieldOps:
 
     # ---------------------------------------------------------------- helpers
 
-    def _carry(self, x, nl):
-        """Propagate carries over ``nl`` limbs; drops the final carry (callers
-        guarantee it is zero)."""
-        outs = []
-        c = jnp.zeros(x.shape[:-1], jnp.int32)
-        for k in range(nl):
-            t = x[..., k] + c
-            outs.append(t & LIMB_MASK)
-            c = t >> LIMB_BITS
-        return jnp.stack(outs, axis=-1)
+    def _mul_cols(self, a, b, nk: int):
+        """Column sums of the limb product: out[k] = sum_{i+j=k} a_i * b_j
+        for k < nk (nk = 2L full / L low).  Inputs: limbs <= 2^12 (canonical
+        or relaxed); each column sum < L * 2^24 + eps < 2^31.
 
-    @staticmethod
-    def _pad_last(x, before, after):
-        pads = [(0, 0)] * (x.ndim - 1) + [(before, after)]
-        return jnp.pad(x, pads)
-
-    def _mul_full(self, a, b):
-        """Schoolbook product -> [..., 2L] un-carried columns (each < 2^31)."""
+        Two formulations, chosen per backend (measured, see module doc):
+        * gather: one outer product + one static anti-diagonal gather + sum
+          (3 ops).  Fastest end-to-end on the CPU backend; on TPU the gather
+          explodes compile time (minutes) and halves runtime throughput.
+        * pad: L shift-and-add rounds (3L ops).  On TPU this compiles in
+          seconds and runs ~5x faster than the gather form.
+        """
+        if self._gather_cols:
+            t = a[..., :, None] * b[..., None, :]
+            t = t.reshape(t.shape[:-2] + (-1,))
+            t = jnp.concatenate(
+                [t, jnp.zeros(t.shape[:-1] + (1,), jnp.int32)], axis=-1
+            )
+            return jnp.sum(t[..., self._adidx[:nk]], axis=-1)
         L = self.L
-        prod = self._pad_last(a[..., 0:1] * b, 0, L)
-        for i in range(1, L):
-            prod = prod + self._pad_last(a[..., i : i + 1] * b, i, L - i)
+        prod = None
+        for i in range(L):
+            hi = min(L, nk - i)
+            if hi <= 0:
+                break
+            term = a[..., i : i + 1] * b[..., :hi]
+            pads = [(0, 0)] * (term.ndim - 1) + [(i, nk - i - hi)]
+            term = jnp.pad(term, pads)
+            prod = term if prod is None else prod + term
         return prod
 
-    def _sq_full(self, a):
-        """Squaring columns -> [..., 2L] un-carried: diagonal terms a_i^2 at
-        column 2i plus doubled cross terms 2*a_i*a_j (i<j) at column i+j —
-        L + L(L-1)/2 limb products vs L^2 for the generic multiplier.  Column
-        sums stay < L/2 * 2^25 < 2^31 for 12-bit limbs."""
-        L = self.L
-        total = None
-        for i in range(L):
-            diag = a[..., i : i + 1] * a[..., i : i + 1]
-            if i + 1 < L:
-                cross = (a[..., i : i + 1] * a[..., i + 1 :]) * 2
-                row = jnp.concatenate([diag, cross], axis=-1)  # len L - i
-            else:
-                row = diag
-            padded = self._pad_last(row, 2 * i, L - i)
-            total = padded if total is None else total + padded
-        return total
+    @staticmethod
+    def _relax(x, passes: int):
+        """Carry relaxation: each pass moves every limb's excess (>= 2^12)
+        one limb up, dividing the excess by 2^12.  From column sums < 2^30,
+        three passes bound every limb by 2^12 (note: 2^12 inclusive).  The
+        carry shifted out of the top limb is provably zero whenever the
+        represented value fits the limb array (positional bound: the top
+        limb's value is <= value / 2^(12*(nl-1)) < 2^12)."""
+        for _ in range(passes):
+            x = (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS, 1)
+        return x
 
-    def _mul_low(self, a, b):
-        """Low L limbs of a*b (mod R), carried."""
-        L = self.L
-        prod = a[..., 0:1] * b
-        for i in range(1, L):
-            prod = prod + self._pad_last(a[..., i : i + 1] * b[..., : L - i], i, 0)
-        return self._carry(prod, L)
+    @staticmethod
+    def _ks_chain(g, pr, nl: int):
+        """Kogge-Stone carry/borrow-lookahead: resolve c_k = g_k | (pr_k &
+        c_{k-1}) in log2(nl) rounds.  g, pr: int32 0/1 arrays [..., nl]."""
+        c = g
+        s = 1
+        while s < nl:
+            c = c | (pr & _shift_up(c, s))
+            pr = pr & _shift_up(pr, s)
+            s *= 2
+        return c
+
+    def _ks_carry(self, x):
+        """Exact canonical carry of limbs bounded by <= 2^13 - 2 via
+        Kogge-Stone carry-lookahead: generate g = excess bit, propagate
+        p = (limb's low bits == 2^12 - 1).  Output limbs < 2^12."""
+        nl = x.shape[-1]
+        low = x & LIMB_MASK
+        g = x >> LIMB_BITS                       # 0/1 (inputs <= 2^13 - 2)
+        pr = (low == LIMB_MASK).astype(jnp.int32)
+        c = self._ks_chain(g, pr, nl)
+        return (low + _shift_up(c, 1)) & LIMB_MASK
 
     def _sub_borrow(self, a, b):
-        """(a - b) limbwise with borrow chain; returns (diff limbs, borrow)."""
-        L = self.L
-        outs = []
-        br = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), jnp.int32)
-        for k in range(L):
-            t = a[..., k] - b[..., k] - br
-            br = (t < 0).astype(jnp.int32)
-            outs.append(t & LIMB_MASK)
-        return jnp.stack(outs, axis=-1), br
+        """(a - b) limbwise for canonical a, b; Kogge-Stone borrow chain.
+        Returns (canonical diff limbs of a - b + borrow * 2^(12 nl), borrow)."""
+        nl = a.shape[-1]
+        d = a - b
+        g = (d < 0).astype(jnp.int32)
+        pr = (d == 0).astype(jnp.int32)
+        c = self._ks_chain(g, pr, nl)
+        borrow_in = _shift_up(c, 1)
+        out = (d - borrow_in) & LIMB_MASK
+        return out, c[..., -1]
 
     def _cond_sub_p(self, x):
-        """x - p if x >= p else x (x < 2p)."""
+        """x - p if x >= p else x (x < 2p, canonical limbs)."""
         diff, borrow = self._sub_borrow(x, self.p_limbs)
         return jnp.where((borrow == 1)[..., None], x, diff)
 
     # ------------------------------------------------------------------- ops
 
     def add(self, a, b):
-        s = self._carry(a + b, self.L)
-        return self._cond_sub_p(s)
+        # canonical sums are <= 2^13 - 2, directly in Kogge-Stone range
+        return self._cond_sub_p(self._ks_carry(a + b))
 
     def sub(self, a, b):
         diff, borrow = self._sub_borrow(a, b)
-        plus_p = self._carry(diff + self.p_limbs, self.L)
+        plus_p = self._ks_carry(diff + self.p_limbs)
         return jnp.where((borrow == 1)[..., None], plus_p, diff)
 
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
 
-    def _redc(self, t):
-        """Coarse Montgomery reduction of carried columns t [..., 2L]."""
-        L = self.L
-        m = self._mul_low(t[..., :L], self.np_limbs)
-        s = self._carry(self._mul_full(m, self.p_limbs) + t, 2 * L)
-        return self._cond_sub_p(s[..., L:])
-
     def mul(self, a, b):
         """Montgomery product: a * b * R^-1 mod p (coarse REDC).
 
-        With canonical inputs (< p): T = a*b < p^2 and T + m*p < p^2 + R*p,
-        which fits 2L limbs with headroom (params guarantee R > 2^6 * p), so no
-        carry escapes limb 2L-1 and the shifted result is < 2p.
+        T = a*b as 2L un-carried columns; m = (T mod R) * (-p^-1) mod R with
+        relaxed (<= 2^12) limbs — its *value* may slightly exceed R, which
+        coarse REDC tolerates: s = T + m*p < R*p*(1 + p/R + 2^-11) fits 2L
+        limbs for both fields (params guarantee R >= 8p).  s is divisible by
+        R; after relaxation the low half's value is exactly 0 or R, so the
+        carry into the high half is simply "any low limb non-zero".
         """
-        return self._redc(self._carry(self._mul_full(a, b), 2 * self.L))
+        L = self.L
+        cols = self._mul_cols(a, b, 2 * L)
+        t_low = self._relax(cols[..., :L], 3)
+        m = self._relax(self._mul_cols(t_low, self.np_limbs, L), 3)
+        s = self._relax(self._mul_cols(m, self.p_limbs, 2 * L) + cols, 3)
+        c_out = jnp.any(s[..., :L] != 0, axis=-1).astype(jnp.int32)
+        hi = s[..., L:] + jnp.pad(
+            c_out[..., None], [(0, 0)] * c_out.ndim + [(0, L - 1)]
+        )
+        return self._cond_sub_p(self._ks_carry(hi))
 
     def square(self, a):
-        """Montgomery squaring — dedicated column generator (~half the limb
-        products of mul); curve formulas are square-heavy."""
-        return self._redc(self._carry(self._sq_full(a), 2 * self.L))
+        """Montgomery squaring (same column engine as mul — the outer
+        product is a single fused primitive either way)."""
+        return self.mul(a, a)
 
     def mul_const(self, a, c_limbs):
         """Multiply batch by a single Montgomery constant [L]."""

@@ -9,29 +9,36 @@ TPU-first reformulation of the bucket method (SURVEY.md section 7 hard part
 
 * window digits (c = 8, so digits are literally scalar bytes) are sorted per
   window — sorting turns the scatter-shaped bucket accumulation into a
-  contiguous segment problem;
-* per-bucket point lists become a dense ``[255, M]`` gather (M = max non-zero
-  bucket population, padded with the point at infinity), and bucket sums are a
-  log2(M) pairwise tree reduction — wide, branch-free, fully batched;
-* the whole bucket tree runs in *affine* coordinates: each level performs one
-  shared log-depth batch inversion (poly.batch_inverse_tree) and the complete
-  chord/tangent formula (curve.aff_add_with_inv) — ~2S+5M+3M(inv share) per
-  add versus ~16M+9S for complete Jacobian adds, the classic batch-affine
-  Pippenger trick recast as wide vector levels;
+  contiguous segment problem: bucket d's members are a contiguous run of the
+  sort order, materialized as a dense [255, M] index block (M = max non-zero
+  bucket population, padded with an index pointing at the affine infinity row);
+* bucket accumulation is a single lax.fori_loop over the M member slots: one
+  step gathers one point per (window, bucket) lane and performs one batched
+  complete mixed addition over all nw*255 lanes — wide, branch-free vector
+  work with zero scatter;
+* per-window weighted sums (sum_d d * B_d) use the classic two-accumulator
+  suffix walk over the 255 buckets, and the window fold is a lax.scan Horner
+  (acc = acc * 2^8 + S_w, MSB window first);
 * zero digits are excluded from M so sparse scalar vectors (common for
-  selector polynomials) cost nothing;
-* windows are processed in groups of G (HBM-budgeted) so the per-level batch
-  inversions amortize across windows; the per-window weighted bucket sum
-  (sum_d d * B_d) = sum of bucket suffix sums, computed as a log-depth
-  associative scan + tree reduction, still in affine coordinates.
+  selector polynomials) cost nothing.
 
-M is data-dependent: it is measured on device, pulled to host once per call,
-and rounded up to the nearest 2^k or 3*2^k so the jitted kernel is reused
-across calls (distinct (N, M, G) triples each compile once).
+The ENTIRE msm — index build, accumulation loop, suffix walk, window fold —
+is one jitted function per (N, M-grid, nw) triple.  This shape is dictated by
+the host: compiles cost milliseconds *per HLO op* here (2-core CPU backend /
+remote TPU compile tunnel), and each host->device dispatch costs ~10ms
+through the tunnel, so the kernel must be a small closed graph (a few
+fori/scan bodies, no unrolled tree levels) with no host round trips inside.
+Total work is nw * 255 * M mixed adds; with M ~= 1.5x the mean bucket
+population this sits within ~1.7x of scatter-based Pippenger's add count
+while being fully vectorized.
+
+M is data-dependent: it is measured on device, pulled to host once per call
+(the only sync), and rounded up to the nearest 2^k or 3*2^k so the jitted
+kernel is reused across calls.
 
 Multi-chip: the bucket decomposition distributes over point shards, so the
-sharded MSM in parallel/msm_sharded.py runs this kernel per shard and
-jac-adds the D partial results (one tiny collective).
+sharded MSM in parallel/msm_sharded.py runs the same kernel shape per shard
+inside shard_map and jac-adds the D partial results (one tiny collective).
 """
 
 from __future__ import annotations
@@ -44,13 +51,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.params import CurveParams
-from . import poly
 from .curve import CurveOps, curve_ops
 
 WINDOW_BITS = 8
 NUM_BUCKETS = (1 << WINDOW_BITS) - 1  # digit 0 excluded
-# HBM budget for one window group's gathered level-0 tree input
-_GROUP_HBM_BUDGET = int(os.environ.get("AP_MSM_GROUP_HBM", str(1 << 30)))
 
 
 def scalar_digits(scalars, nbytes: int = 32) -> np.ndarray:
@@ -84,7 +88,7 @@ def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32):
 def _round_bucket_capacity(max_count: int) -> int:
     """Round M up to the nearest 2^k or 3*2^k — a finer grid than pure
     powers of two (padding waste <= 1/3 instead of <= 1/2) while keeping the
-    set of jit-compiled (N, M) kernel variants small."""
+    set of jitted kernel variants small."""
     if max_count <= 2:
         return max(max_count, 1)
     p2 = 1 << (max_count - 1).bit_length()          # next power of two
@@ -92,16 +96,150 @@ def _round_bucket_capacity(max_count: int) -> int:
     return p15 if p15 >= max_count else p2
 
 
+def _bucket_indices(digits, m: int, n: int):
+    """[nw, N] digits -> [nw, 255, M] member indices into the infinity-padded
+    point table (index n = padding)."""
+
+    def window_indices(digits_w):
+        order = jnp.argsort(digits_w)
+        sorted_d = digits_w[order]
+        dvals = jnp.arange(1, 1 << WINDOW_BITS, dtype=jnp.int32)
+        left = jnp.searchsorted(sorted_d, dvals, side="left")
+        right = jnp.searchsorted(sorted_d, dvals, side="right")
+        counts = right - left                      # [255]
+        offs = jnp.arange(m, dtype=jnp.int32)
+        idx = left[:, None] + offs[None]           # [255, M]
+        valid = offs[None] < counts[:, None]
+        return jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
+
+    return jax.vmap(window_indices)(digits)
+
+def bucket_accumulate(ops: CurveOps, points_pad, digits, m: int):
+    """Shared kernel body: [N+1, 2, L] infinity-padded points + [nw, N]
+    digits -> [nw, 255, 3, L] bucket sums, with static member capacity m.
+
+    Traceable (used inside the shard_map'd multi-chip step and as the CPU
+    fallback of the single-chip path)."""
+    n = points_pad.shape[0] - 1
+    nw = digits.shape[0]
+    gidx = _bucket_indices(digits, m, n)           # [nw, 255, M]
+
+    def acc_body(j, acc):
+        pts = points_pad[gidx[:, :, j]]            # [nw, 255, 2, L]
+        return ops.jac_add_affine(acc, pts)
+
+    acc0 = ops.jac_infinity((nw, NUM_BUCKETS))
+    return jax.lax.fori_loop(0, m, acc_body, acc0)
+
+
+def bucket_accumulate_pallas(ops: CurveOps, points_pad, digits, m: int,
+                             tile: int = 512):
+    """TPU fast path: same contract as bucket_accumulate, but the inner
+    complete mixed addition runs as one fused Pallas kernel over a
+    limbs-major [3, L, B] accumulator (see ops/curve_pallas.py)."""
+    from .curve_pallas import pallas_mixed_add
+
+    n = points_pad.shape[0] - 1
+    nw = digits.shape[0]
+    gidx = _bucket_indices(digits, m, n)           # [nw, 255, M]
+    b = nw * NUM_BUCKETS
+    b_pad = -(-b // tile) * tile
+    gidx = jnp.concatenate(
+        [
+            gidx.reshape(b, m),
+            jnp.full((b_pad - b, m), n, jnp.int32),
+        ]
+    )
+    f = ops.f
+    acc0 = jnp.zeros((3, ops.L, b_pad), jnp.int32)
+    acc0 = acc0.at[1].set(jnp.broadcast_to(f.one[:, None], (ops.L, b_pad)))
+    mixed = pallas_mixed_add(ops.curve, tile)
+
+    def acc_body(j, acc):
+        idx = jax.lax.dynamic_index_in_dim(gidx, j, axis=1, keepdims=False)
+        pts = jnp.transpose(points_pad[idx], (1, 2, 0))  # [2, L, B]
+        return mixed(acc, pts)
+
+    acc = jax.lax.fori_loop(0, m, acc_body, acc0)
+    return jnp.transpose(acc[:, :, :b], (2, 0, 1)).reshape(
+        nw, NUM_BUCKETS, 3, ops.L
+    )
+
+
+def suffix_and_fold(ops: CurveOps, buckets):
+    """[nw, 255, 3, L] bucket sums -> [3, L] final accumulator (traceable).
+
+    Per window: S_w = sum_d d * B_d.  The naive suffix walk is 2*255
+    sequential adds over only [nw] lanes — on TPU each tiny step pays the
+    same latency as a wide one, so the walk is decomposed over the exact
+    factorization 255 = 15 * 17: writing bucket index k = 17 h + l
+    (digit d = k + 1),
+
+      sum_k (k+1) B_k = 17 * sum_h h C_h + sum_l l D_l + sum_k B_k,
+      C_h = sum_l B[h, l],   D_l = sum_h B[h, l],
+
+    which is two short reductions plus two short weighted suffix walks —
+    ~80 sequential steps at [nw * 15..17] lanes instead of 510 at [nw].
+    Across windows: Horner fold acc = acc * 2^WINDOW_BITS + S_w (the ~250
+    sequential doublings are inherent to any 256-bit MSM)."""
+    nw = buckets.shape[0]
+    assert NUM_BUCKETS == 15 * 17
+    grid = buckets.reshape(nw, 15, 17, 3, ops.L)
+
+    def red_l(i, acc):                         # C_h = sum_l B[h, l]
+        return ops.jac_add(acc, grid[:, :, i])
+
+    c = jax.lax.fori_loop(0, 17, red_l, ops.jac_infinity((nw, 15)))
+
+    def red_h(i, acc):                         # D_l = sum_h B[h, l]
+        return ops.jac_add(acc, grid[:, i])
+
+    d = jax.lax.fori_loop(0, 15, red_h, ops.jac_infinity((nw, 17)))
+
+    def wsuffix(arr, count):
+        # sum_i i * arr[i] = sum of suffix sums arr[i:] for i >= 1
+        def body(i, acc):
+            running, total = acc
+            running = ops.jac_add(running, arr[:, count - 1 - i])
+            total = ops.jac_add(total, running)
+            return running, total
+
+        init = (ops.jac_infinity((nw,)), ops.jac_infinity((nw,)))
+        _, total = jax.lax.fori_loop(0, count - 1, body, init)
+        return total
+
+    wh = wsuffix(c, 15)                        # sum_h h C_h
+    wl = wsuffix(d, 17)                        # sum_l l D_l
+
+    def red_c(i, acc):                         # sum_k B_k = sum_h C_h
+        return ops.jac_add(acc, c[:, i])
+
+    all_b = jax.lax.fori_loop(0, 15, red_c, ops.jac_infinity((nw,)))
+
+    def dbl(_, a):
+        return ops.jac_double(a)
+
+    # S_w = 17 * wh + wl + all_b   (17 = 16 + 1: four doublings + one add)
+    wh16 = jax.lax.fori_loop(0, 4, dbl, wh)
+    window_sums = ops.jac_add(ops.jac_add(wh16, wh), ops.jac_add(wl, all_b))
+
+    def fold(acc, wsum):
+        # unrolled doublings: one scan body of 8 doubles + 1 add costs far
+        # less wall-clock than a nested 8-iteration loop of tiny ops
+        for _ in range(WINDOW_BITS):
+            acc = ops.jac_double(acc)
+        return ops.jac_add(acc, wsum), None
+
+    acc, _ = jax.lax.scan(fold, ops.jac_infinity(), window_sums, reverse=True)
+    return acc
+
+
 class MsmCtx:
     def __init__(self, curve: CurveParams):
         self.curve = curve
         self.ops: CurveOps = curve_ops(curve)
-        self._window_fn_cache: dict[tuple[int, int], callable] = {}
+        self._msm_fn_cache: dict[int, callable] = {}
         self._max_count = jax.jit(self._max_count_impl)
-        self._suffix_combine = jax.jit(self._suffix_combine_impl)
-        self._fold_step = jax.jit(self._fold_step_impl)
-
-    # ---------------------------------------------------------------- pieces
 
     def _max_count_impl(self, digits):
         """Max population over all non-zero buckets of all windows.
@@ -115,82 +253,33 @@ class MsmCtx:
         )
         return jnp.max(jnp.diff(pos, axis=1))
 
-    def _aff_tree_add(self, a, b):
-        """Batch-affine complete add of two equally-shaped [..., 2, L] arrays
-        sharing one log-depth batch inversion across all lanes."""
+    def _msm_fn(self, m: int):
+        """One closed jit per bucket capacity m (shapes key the rest)."""
+        if m in self._msm_fn_cache:
+            return self._msm_fn_cache[m]
         ops = self.ops
-        den, flags = ops.aff_add_denominator(a, b)
-        flat = den.reshape(-1, den.shape[-1])
-        inv = poly.batch_inverse_tree(ops.f, flat).reshape(den.shape)
-        return ops.aff_add_with_inv(a, b, inv, flags)
+        # fused Pallas inner loop on real TPU; XLA-composed elsewhere
+        # (pallas interpret mode is far slower than XLA on CPU)
+        use_pallas = (
+            os.environ.get("AP_PALLAS", "1") == "1"
+            and jax.default_backend() == "tpu"
+        )
 
-    def _aff_reduce_axis(self, pts, axis: int):
-        """Tree-reduce an axis of an affine [...]-array with batch-affine
-        adds; odd levels are padded with one infinity column."""
-        pts = jnp.moveaxis(pts, axis, 0)
-        mm = pts.shape[0]
-        while mm > 1:
-            if mm % 2:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((1,) + pts.shape[1:], jnp.int32)], axis=0
-                )
-                mm += 1
-            h = mm // 2
-            pts = self._aff_tree_add(pts[:h], pts[h:])
-            mm = h
-        return pts[0]
-
-    def _window_buckets_fn(self, n: int, m: int, g: int):
-        """Jitted bucket reduction over a group of g windows for static
-        (N, M, G): [g, N] digits -> [g, 255, 2, L] affine bucket sums."""
-        key = (n, m, g)
-        if key in self._window_fn_cache:
-            return self._window_fn_cache[key]
-        ops = self.ops
-
-        def gather_idx(digits_w):
-            order = jnp.argsort(digits_w)
-            sorted_d = digits_w[order]
-            dvals = jnp.arange(1, 1 << WINDOW_BITS, dtype=jnp.int32)
-            left = jnp.searchsorted(sorted_d, dvals, side="left")
-            right = jnp.searchsorted(sorted_d, dvals, side="right")
-            counts = right - left                      # [255]
-            offs = jnp.arange(m, dtype=jnp.int32)
-            idx = left[:, None] + offs[None]           # [255, M]
-            valid = offs[None] < counts[:, None]
-            return jnp.where(valid, order[jnp.clip(idx, 0, n - 1)], n)
-
-        def fn(points_pad, digits_g):
-            # points_pad: [N+1, 2, L] affine with points_pad[N] = (0,0) = inf
-            gidx = jax.vmap(gather_idx)(digits_g)      # [g, 255, M]
-            pts = points_pad[gidx]                     # [g, 255, M, 2, L]
-            return self._aff_reduce_axis(pts, 2)       # [g, 255, 2, L]
+        def fn(points_pad, digits):
+            if use_pallas:
+                buckets = bucket_accumulate_pallas(ops, points_pad, digits, m)
+            else:
+                buckets = bucket_accumulate(ops, points_pad, digits, m)
+            return suffix_and_fold(ops, buckets)
 
         jfn = jax.jit(fn)
-        self._window_fn_cache[key] = jfn
+        self._msm_fn_cache[m] = jfn
         return jfn
-
-    def _suffix_combine_impl(self, buckets):
-        """sum_d d * B_d per window = sum over k of the bucket suffix sums
-        S_k = sum_{d >= k} B_d: a log-depth associative scan over the bucket
-        axis followed by a tree reduction, all batch-affine.
-        buckets: [nw, 255, 2, L] affine -> [nw, 3, L] jacobian."""
-        suffix = jax.lax.associative_scan(
-            self._aff_tree_add, buckets, axis=1, reverse=True
-        )
-        total = self._aff_reduce_axis(suffix, 1)       # [nw, 2, L]
-        return self.ops.affine_to_jac(total)
-
-    def _fold_step_impl(self, acc, window_sum):
-        """acc = acc * 2^WINDOW_BITS + window_sum (Horner over windows)."""
-        for _ in range(WINDOW_BITS):
-            acc = self.ops.jac_double(acc)
-        return self.ops.jac_add(acc, window_sum)
 
     # ------------------------------------------------------------------ API
 
     def msm(self, points_affine, scalars) -> jnp.ndarray:
-        """MSM over G1: returns Jacobian [3, L].
+        """MSM over G1: returns projective [3, L].
 
         points_affine: [N, 2, L] device array (Montgomery affine limbs).
         scalars: sequence of python ints (canonical) or [nw, N] digit array.
@@ -209,25 +298,7 @@ class MsmCtx:
 
         inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
         points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
-
-        nw = digits.shape[0]
-        # group windows so per-level batch inversions amortize, bounded by an
-        # HBM budget on the gathered [G, 255, M, 2, L] level-0 tree input
-        level0_bytes = NUM_BUCKETS * m * 2 * self.ops.L * 4
-        g = max(1, min(nw, _GROUP_HBM_BUDGET // max(level0_bytes, 1)))
-        while nw % g:
-            g -= 1
-        wfn = self._window_buckets_fn(n, m, g)
-
-        buckets = jnp.concatenate(
-            [wfn(points_pad, digits[w : w + g]) for w in range(0, nw, g)]
-        )                                              # [nw, 255, 2, L] affine
-        window_sums = self._suffix_combine(buckets)    # [nw, 3, L]
-
-        acc = self.ops.jac_infinity()
-        for w in range(nw - 1, -1, -1):
-            acc = self._fold_step(acc, window_sums[w])
-        return acc
+        return self._msm_fn(m)(points_pad, digits)
 
     def msm_to_affine_int(self, points_affine, scalars):
         """Convenience: MSM -> host affine int tuple (or None)."""

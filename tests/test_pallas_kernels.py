@@ -1,28 +1,23 @@
 """Pallas fused kernels vs the XLA reference path.
 
-On CPU the kernels run in pallas interpret mode (the factories default to
-interpret whenever the backend is not TPU), so these tests validate the
-kernel bodies everywhere; on real TPU the same code runs natively via
-AP_PALLAS=1 (A/B switch in CurveOps).
-"""
+On CPU the kernels run in pallas interpret mode (the factories interpret
+whenever the backend is not TPU), so these tests validate the kernel bodies
+everywhere; on real TPU the same code runs natively as the MSM inner loop
+(ops/msm.py bucket_accumulate_pallas)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-# interpret-mode lowering of the giant unrolled limb kernels takes tens of
-# minutes on the 2-vCPU host — keep out of the default tier
+# interpret-mode lowering is slow on the 2-vCPU host — out of the default tier
 pytestmark = pytest.mark.slow
 
 from algoplonk_tpu.fields.params import BN254
 from algoplonk_tpu.host import fp as hfp
+from algoplonk_tpu.ops import msm as msm_mod
 from algoplonk_tpu.ops.curve import curve_ops
-from algoplonk_tpu.ops.curve_pallas import (
-    pallas_aff_add_aff,
-    pallas_jac_add,
-    pallas_jac_double,
-)
+from algoplonk_tpu.ops.curve_pallas import pallas_field_mul, pallas_mixed_add
 from algoplonk_tpu.ops.field import field_ops
-from algoplonk_tpu.ops.field_pallas import pallas_mul
 
 
 def sample_points(rng, curve, n):
@@ -33,73 +28,58 @@ def sample_points(rng, curve, n):
 def test_pallas_field_mul(rng):
     fp = BN254.fr
     f = field_ops(fp)
-    xs = [rng.randrange(fp.modulus) for _ in range(16)]
-    ys = [rng.randrange(fp.modulus) for _ in range(16)]
+    xs = [rng.randrange(fp.modulus) for _ in range(10)] + [0, fp.modulus - 1]
+    ys = [rng.randrange(fp.modulus) for _ in range(10)] + [fp.modulus - 1, 0]
     a, b = f.encode(xs), f.encode(ys)
-    got = f.decode(pallas_mul(fp)(a, b))
+    got = f.decode(pallas_field_mul(fp, tile=8)(a, b))
     assert got == [x * y % fp.modulus for x, y in zip(xs, ys)]
 
 
-def test_pallas_point_kernels_match_xla(rng):
+def test_pallas_mixed_add_complete(rng):
+    """The fused RCB mixed add handles generic, doubling, inverse and
+    infinity lanes — the exact mix the MSM bucket loop feeds it."""
     curve = BN254
     ops = curve_ops(curve)
     F = hfp.GF(curve.fp.modulus)
-    n = 8
-    P = sample_points(rng, curve, n)
-    Q = sample_points(rng, curve, n)
-    P[0] = None                       # inf lanes + doubling + cancellation
-    Q[1] = None
-    Q[2] = P[2]
-    Q[3] = hfp.ec_neg(F, P[3])
+    P = sample_points(rng, curve, 8)
+    Q = sample_points(rng, curve, 8)
+    P[0] = None                       # inf acc
+    Q[1] = None                       # inf point (bucket padding)
+    Q[2] = P[2]                       # doubling
+    Q[3] = hfp.ec_neg(F, P[3])        # cancellation
 
-    pa, qa = ops.encode_affine(P), ops.encode_affine(Q)
-    pj, qj = ops.affine_to_jac(pa), ops.affine_to_jac(qa)
-    want_add = [hfp.ec_add(F, p, q) for p, q in zip(P, Q)]
-    want_dbl = [hfp.ec_add(F, p, p) for p in P]
+    accT = jnp.transpose(ops.affine_to_jac(ops.encode_affine(P)), (1, 2, 0))
+    ptsT = jnp.transpose(ops.encode_affine(Q), (1, 2, 0))
+    out = pallas_mixed_add(curve, tile=8)(accT, ptsT)
+    got = ops.decode_affine(ops.to_affine(jnp.transpose(out, (2, 0, 1))))
+    want = [hfp.ec_add(F, p, q) for p, q in zip(P, Q)]
+    assert got == want
 
-    got_add = ops.decode_affine(ops.to_affine(pallas_jac_add(curve)(pj, qj)))
-    assert got_add == want_add
 
-    got_aff = ops.decode_affine(
-        ops.to_affine(pallas_aff_add_aff(curve)(pa, qa))
+def test_bucket_accumulate_pallas_matches_xla(rng):
+    """The full pallas bucket loop (interpret mode) == the XLA fallback."""
+    curve = BN254
+    ops = curve_ops(curve)
+    n, nw, m = 32, 2, 8
+    pts = sample_points(rng, curve, n)
+    points_pad = jnp.concatenate(
+        [ops.encode_affine(pts), jnp.zeros((1, 2, ops.L), jnp.int32)]
     )
-    assert got_aff == want_add
-
-    got_dbl = ops.decode_affine(ops.to_affine(pallas_jac_double(curve)(pj)))
-    assert got_dbl == want_dbl
-
-
-def test_ap_pallas_env_switch(rng, monkeypatch):
-    """AP_PALLAS=1 swaps the hot binary ops for pallas kernels; results must
-    be identical through the flatten wrappers (multi-dim batches)."""
-    from algoplonk_tpu.fields.params import CurveParams
-    from algoplonk_tpu.ops import curve as curve_mod
-
-    monkeypatch.setenv("AP_PALLAS", "1")
-    ops_p = curve_mod.CurveOps(BN254)   # bypass the lru cache
-    ops_x = curve_ops(BN254)
-
-    P = sample_points(rng, BN254, 6)
-    Q = sample_points(rng, BN254, 6)
-    pa = ops_x.encode_affine(P)
-    qa = ops_x.encode_affine(Q)
-    # 2-D leading batch [2, 3]
-    pj = ops_x.affine_to_jac(pa).reshape(2, 3, 3, -1)
-    qj = ops_x.affine_to_jac(qa).reshape(2, 3, 3, -1)
-
-    got = np.asarray(ops_p.jac_add(pj, qj))
-    want = np.asarray(ops_x.jac_add(pj, qj))
+    digits = jnp.asarray(
+        np.asarray(
+            [[rng.randrange(256) for _ in range(n)] for _ in range(nw)],
+            dtype=np.int32,
+        )
+    )
+    mc = int(msm_mod.msm_ctx(curve)._max_count(digits))
+    m = max(m, mc)
+    want = np.asarray(
+        ops.to_affine(msm_mod.bucket_accumulate(ops, points_pad, digits, m))
+    )
+    got = np.asarray(
+        ops.to_affine(
+            msm_mod.bucket_accumulate_pallas(ops, points_pad, digits, m,
+                                             tile=64)
+        )
+    )
     assert (got == want).all()
-
-    # rank-2 (no leading batch) call, as _fold_step issues
-    got1 = np.asarray(ops_p.jac_add(pj[0, 0], qj[0, 0]))
-    want1 = np.asarray(ops_x.jac_add(pj[0, 0], qj[0, 0]))
-    assert (got1 == want1).all()
-
-    got_d = np.asarray(ops_p.jac_double(pj))
-    want_d = np.asarray(ops_x.jac_double(pj))
-    assert (got_d == want_d).all()
-
-    got_a = np.asarray(ops_p.aff_add_aff(pa, qa))
-    want_a = np.asarray(ops_x.aff_add_aff(pa, qa))
-    assert (got_a == want_a).all()
