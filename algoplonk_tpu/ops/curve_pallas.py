@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.params import CurveParams, FieldParams
 from ..fields import limbs as limbs_mod
-from .field_pallas import FieldVals, field_consts
+from .field_pallas import FieldVals, field_consts, field_mats
 
 
 def _interpret() -> bool:
@@ -78,10 +78,16 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
     """Jittable fused complete mixed add:
     (acc [3, L, B], pts [2, L, B]) -> [3, L, B], B a multiple of ``tile``."""
     L = curve.fp.nlimbs
-    consts = jnp.asarray(_curve_consts(curve))
+    # numpy, NOT jnp: this closure is lru_cached and may first be invoked
+    # inside a jit trace — a jnp constant created there would leak that
+    # trace's tracer into every later jit (observed UnexpectedTracerError
+    # when two MSM bucket capacities were jitted in one process).  Staging
+    # from numpy inside `run` gives each trace its own constant.
+    consts_np = _curve_consts(curve)
+    mats_np = field_mats(curve.fp)  # [6L, L] float32 (staged as bf16)
 
-    def kernel(consts_ref, acc_ref, pts_ref, out_ref):
-        f = FieldVals(curve.fp, consts_ref[:3])
+    def kernel(consts_ref, mats_ref, acc_ref, pts_ref, out_ref):
+        f = FieldVals(curve.fp, consts_ref[:3], mats_ref[:])
         b3 = consts_ref[3][:, None]
         x3, y3, z3 = _mixed_add_body(
             f,
@@ -94,6 +100,8 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
         out_ref[2] = z3
 
     def run(acc, pts):
+        consts = jnp.asarray(consts_np)
+        mats = jnp.asarray(mats_np, jnp.bfloat16)
         b = acc.shape[-1]
         assert b % tile == 0, (b, tile)
         grid = (b // tile,)
@@ -103,12 +111,13 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((4, L), lambda i: (0, 0)),
+                pl.BlockSpec((6 * L, L), lambda i: (0, 0)),
                 pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
                 pl.BlockSpec((2, L, tile), lambda i: (0, 0, i)),
             ],
             out_specs=pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
             interpret=_interpret(),
-        )(consts, acc, pts)
+        )(consts, mats, acc, pts)
 
     return run
 
@@ -120,14 +129,17 @@ def pallas_field_mul(fp: FieldParams, tile: int = 2048):
     pipeline against ops/field.py and serves as the template for fusing
     other pipelines."""
     L = fp.nlimbs
-    consts = jnp.asarray(field_consts(fp))
+    consts_np = field_consts(fp)  # numpy — see pallas_mixed_add
+    mats_np = field_mats(fp)
 
-    def kernel(consts_ref, a_ref, b_ref, out_ref):
-        f = FieldVals(fp, consts_ref[:])
+    def kernel(consts_ref, mats_ref, a_ref, b_ref, out_ref):
+        f = FieldVals(fp, consts_ref[:], mats_ref[:])
         out_ref[:] = f.mul(a_ref[:], b_ref[:])
 
     def run(a, b):
         # a, b: [N, L] canonical Montgomery
+        consts = jnp.asarray(consts_np)
+        mats = jnp.asarray(mats_np, jnp.bfloat16)
         n = a.shape[0]
         pad = (-n) % tile
         aT = jnp.pad(a, [(0, pad), (0, 0)]).T
@@ -139,12 +151,13 @@ def pallas_field_mul(fp: FieldParams, tile: int = 2048):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((3, L), lambda i: (0, 0)),
+                pl.BlockSpec((6 * L, L), lambda i: (0, 0)),
                 pl.BlockSpec((L, tile), lambda i: (0, i)),
                 pl.BlockSpec((L, tile), lambda i: (0, i)),
             ],
             out_specs=pl.BlockSpec((L, tile), lambda i: (0, i)),
             interpret=_interpret(),
-        )(consts, aT, bT)
+        )(consts, mats, aT, bT)
         return out.T[:n]
 
     return jax.jit(run)

@@ -256,6 +256,15 @@ class FieldOps:
     def is_zero(self, a):
         return jnp.all(a == 0, axis=-1)
 
+    def bits_from_mont(self, limbs, nbits: int):
+        """Montgomery [..., L] -> [..., nbits] MSB-first 0/1 bits, on device
+        (feeds CurveOps.scalar_mul without a host round trip — the path that
+        lets test_only_srs generate million-point SRSs)."""
+        canon = self.from_mont(limbs)
+        bits = (canon[..., :, None] >> jnp.arange(LIMB_BITS, dtype=jnp.int32)) & 1
+        bits = bits.reshape(canon.shape[:-1] + (self.L * LIMB_BITS,))
+        return bits[..., :nbits][..., ::-1]
+
     def eq(self, a, b):
         return jnp.all(a == b, axis=-1)
 

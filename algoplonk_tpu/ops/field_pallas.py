@@ -21,6 +21,7 @@ they travel as one ``[3, L]`` int32 operand (`consts`), rebound in-kernel via
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,38 @@ def field_consts(fp: FieldParams) -> np.ndarray:
     )
 
 
+def field_mats(fp: FieldParams) -> np.ndarray:
+    """[6L, L] bf16 constant-Toeplitz matrices for the MXU REDC path.
+
+    Montgomery REDC multiplies by two *constants*: m = t_low * (-p^-1 mod R)
+    (low half) and m * p (full) — as limbs-major matrix products these are
+    out[k, t] = sum_i C[k, i] x[i, t] with C[k, i] = const_{k-i}, i.e. plain
+    [nk, L] @ [L, T] matmuls with data-independent matrices, which belong on
+    the MXU, not the VPU.  For bf16 exactness each 12-bit constant limb is
+    split 6/6: C = C_lo + 64 C_hi (entries <= 63), and the kernel splits the
+    data likewise, so every dot accumulates integers < 2^24 exactly in fp32.
+
+    Row layout: M1_lo [L], M1_hi [L] (np' Toeplitz, low half),
+                M2_lo [2L], M2_hi [2L] (p Toeplitz, full).
+    """
+    L = fp.nlimbs
+    np_limbs = np.asarray(limbs_mod.int_to_limbs(fp.n_prime, fp), np.int64)
+    p_limbs = np.asarray(limbs_mod.int_to_limbs(fp.modulus, fp), np.int64)
+
+    def toeplitz(c, nk):
+        M = np.zeros((nk, L), np.int64)
+        for k in range(nk):
+            for i in range(max(0, k - len(c) + 1), min(L, k + 1)):
+                M[k, i] = c[k - i]
+        return M
+
+    m1 = toeplitz(np_limbs, L)
+    m2 = toeplitz(p_limbs, 2 * L)
+    rows = [m1 & 63, m1 >> 6, m2 & 63, m2 >> 6]
+    # float32 here; callers stage it as bf16 (entries <= 63 are exact)
+    return np.concatenate(rows).astype(np.float32)
+
+
 def _shift_up0(x, s: int):
     """Limb k -> limb k+s along axis 0 (drops the top s limbs; dropped
     carries are provably zero — ops/field.py _relax)."""
@@ -48,14 +81,27 @@ def _shift_up0(x, s: int):
 
 class FieldVals:
     """Limbs-major ([L, T]) field ops on in-kernel values, bound to one
-    field's constants (a loaded [3, L] array)."""
+    field's constants (a loaded [3, L] array).
 
-    def __init__(self, fp: FieldParams, consts_val):
+    ``mats_val``: optional loaded [6L, L] bf16 array (field_mats) — when
+    present, ``mul`` runs the two constant REDC products on the MXU and the
+    data product via limb Karatsuba; otherwise everything is VPU schoolbook.
+    """
+
+    def __init__(self, fp: FieldParams, consts_val, mats_val=None):
         self.fp = fp
         self.L = fp.nlimbs
         self.p = consts_val[0][:, None]       # [L, 1]
         self.np_ = consts_val[1][:, None]
         self.one = consts_val[2][:, None]
+        if mats_val is not None:
+            L = self.L
+            self.m1_lo = mats_val[:L]
+            self.m1_hi = mats_val[L : 2 * L]
+            self.m2_lo = mats_val[2 * L : 4 * L]
+            self.m2_hi = mats_val[4 * L : 6 * L]
+        else:
+            self.m1_lo = None
 
     # ------------------------------------------------------------- carries
 
@@ -102,10 +148,10 @@ class FieldVals:
 
     def mul_cols(self, a, b, nk: int):
         """out[k] = sum_{i+j=k} a_i b_j for k < nk; a, b [L or fewer, T]."""
-        L = self.L
+        La, Lb = a.shape[0], b.shape[0]
         prod = None
-        for i in range(L):
-            hi = min(L, nk - i)
+        for i in range(La):
+            hi = min(Lb, nk - i)
             if hi <= 0:
                 break
             term = a[i : i + 1] * b[:hi]
@@ -114,13 +160,74 @@ class FieldVals:
             prod = term if prod is None else prod + term
         return prod
 
-    def mul(self, a, b):
-        """Montgomery product (bounds as in ops/field.py FieldOps.mul)."""
+    def kara_cols(self, a, b):
+        """Column sums of a*b via one level of limb Karatsuba: split at
+        h = ceil(L/2); 3 half-size convolutions instead of one full one
+        (~25% fewer VPU multiplies).  The cross term zm - z0 - z2 is
+        column-wise non-negative (it equals sum a0_i b1_j + a1_i b0_j), so
+        every assembled column stays a non-negative int32 bounded by the
+        schoolbook bound < 2^29."""
         L = self.L
-        cols = self.mul_cols(a, b, 2 * L)
-        t_low = self.relax(cols[:L], 3)
-        m = self.relax(self.mul_cols(t_low, self.np_, L), 3)
-        s = self.relax(self.mul_cols(m, self.p, 2 * L) + cols, 3)
+        h = (L + 1) // 2
+        a0, a1 = a[:h], a[h:]
+        b0, b1 = b[:h], b[h:]
+        pad_tail = [(0, 0)] * (a.ndim - 1)
+        z0 = self.mul_cols(a0, b0, 2 * h)            # [2h]
+        z2 = self.mul_cols(a1, b1, 2 * (L - h))      # [2(L-h)]
+        # lo/hi sums <= 2^13 - 2; zm columns <= h * (2^13)^2 < 2^30: int32 ok
+        zm = self.mul_cols(a0 + a1, b0 + b1, 2 * h)
+        z1 = zm - z0 - jnp.pad(
+            z2, [(0, 2 * h - 2 * (L - h))] + pad_tail
+        )
+        # assemble cols[k] = z0[k] + z1[k-h] + z2[k-2h] over [2L]
+        cols = jnp.pad(z0, [(0, 2 * L - 2 * h)] + pad_tail)
+        cols = cols + jnp.pad(z1, [(h, 2 * L - h - 2 * h)] + pad_tail)
+        cols = cols + jnp.pad(
+            z2, [(2 * h, 2 * L - 2 * h - 2 * (L - h))] + pad_tail
+        )
+        return cols
+
+    def const_mul_mxu(self, x, c_lo, c_hi):
+        """MXU product with a 6/6-split constant Toeplitz matrix:
+        out[k, t] = sum_i C[k, i] x[i, t], x limbs <= 2^12 + eps.
+        Four bf16 [nk, L] @ [L, T] dots, each exact in fp32 (< 2^24)."""
+        x_lo = (x & 63).astype(jnp.bfloat16)
+        x_hi = (x >> 6).astype(jnp.bfloat16)
+
+        def dot(c, v):
+            return jax.lax.dot_general(
+                c, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        d00 = dot(c_lo, x_lo)
+        d01 = dot(c_lo, x_hi)
+        d10 = dot(c_hi, x_lo)
+        d11 = dot(c_hi, x_hi)
+        return d00 + ((d01 + d10) << 6) + (d11 << 12)
+
+    def mul(self, a, b):
+        """Montgomery product (bounds as in ops/field.py FieldOps.mul).
+
+        With mats bound: data product via Karatsuba columns, both constant
+        REDC products (by -p^-1 and by p) on the MXU.  Two relaxation passes
+        suffice everywhere: from columns < 2^29.5 they bound every limb by
+        2^12 + 24, which (a) keeps all downstream products in int32/fp32
+        range and (b) preserves the low-half value < 1.01 R < 2R, so the
+        0-or-R carry-out test below stays exact."""
+        L = self.L
+        if self.m1_lo is not None:
+            cols = self.kara_cols(a, b)
+            t_low = self.relax(cols[:L], 2)
+            m = self.relax(self.const_mul_mxu(t_low, self.m1_lo, self.m1_hi), 2)
+            s = self.relax(
+                self.const_mul_mxu(m, self.m2_lo, self.m2_hi) + cols, 2
+            )
+        else:
+            cols = self.mul_cols(a, b, 2 * L)
+            t_low = self.relax(cols[:L], 3)
+            m = self.relax(self.mul_cols(t_low, self.np_, L), 3)
+            s = self.relax(self.mul_cols(m, self.p, 2 * L) + cols, 3)
         c_out = jnp.any(s[:L] != 0, axis=0).astype(jnp.int32)
         hi = s[L:] + jnp.pad(
             c_out[None], [(0, L - 1)] + [(0, 0)] * c_out.ndim

@@ -29,11 +29,15 @@ from ..setups.registry import SRS, next_power_of_two
 from .keys import ProvingKey, VerifyingKey
 
 
-def _commit(curve: CurveParams, srs_dev, coeff_ints) -> tuple:
-    """KZG commit to canonical coefficients -> host affine int tuple."""
+def _commit(curve: CurveParams, srs_dev, coeffs_limbs) -> tuple:
+    """KZG commit to Montgomery-limb coefficients -> host affine int tuple.
+    Digits are extracted on device (no host int round trip)."""
+    from ..ops.msm import digits_from_mont_limbs
+
     ctx = msm_ctx(curve)
-    n = len(coeff_ints)
-    return ctx.msm_to_affine_int(srs_dev[:n], coeff_ints)
+    f = field_ops(curve.fr)
+    digits = digits_from_mont_limbs(f, coeffs_limbs)
+    return ctx.msm_to_affine_int(srs_dev[: coeffs_limbs.shape[0]], digits)
 
 
 def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, VerifyingKey]:
@@ -46,9 +50,9 @@ def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, Verifyin
     k1 = curve.coset_shift
     k2 = k1 * k1 % r
 
-    if len(srs.g1) < n + 3:
+    if srs.g1_count < n + 3:
         raise ValueError(
-            f"SRS too small: need {n + 3} G1 points, have {len(srs.g1)}"
+            f"SRS too small: need {n + 3} G1 points, have {srs.g1_count}"
         )
 
     # ------------------------------------------------------ selector vectors
@@ -140,17 +144,17 @@ def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, Verifyin
         qcp_c.append(plan.intt(ev))
 
     # SRS on device
-    cops = curve_ops(curve)
-    srs_dev = cops.encode_affine(srs.g1[: n + 3])
+    if srs.g1_limbs is not None:
+        srs_dev = jnp.asarray(srs.g1_limbs[: n + 3])
+    else:
+        cops = curve_ops(curve)
+        srs_dev = cops.encode_affine(srs.g1[: n + 3])
 
     # ----------------------------------------------------------- commitments
     coms = {}
     for name in ("ql", "qr", "qm", "qo", "qk", "s1", "s2", "s3"):
-        coeff_ints = f.decode(coeffs[name])
-        coms[name] = _commit(curve, srs_dev, coeff_ints)
-    qcp_coms = [
-        _commit(curve, srs_dev, f.decode(c)) for c in qcp_c
-    ]
+        coms[name] = _commit(curve, srs_dev, coeffs[name])
+    qcp_coms = [_commit(curve, srs_dev, c) for c in qcp_c]
 
     vk = VerifyingKey(
         curve=curve,

@@ -78,7 +78,10 @@ def test_only_setup(curve: CurveParams) -> SetupName:
 class SRS:
     """Structured reference string (monomial basis).
 
-    g1: [n] affine int tuples [tau^i] G1.
+    g1: [n] affine int tuples [tau^i] G1 (may be empty when g1_limbs is set).
+    g1_limbs: optional [n, 2, L] int32 Montgomery affine limb array — the
+        device-ready form; large test SRSs are generated and kept in this
+        form to skip the million-point host int round trip.
     vk_g1: G1 generator; vk_g2: ([1] G2, [tau] G2).
     """
 
@@ -86,6 +89,13 @@ class SRS:
     g1: list
     vk_g1: tuple
     vk_g2: tuple
+    g1_limbs: np.ndarray | None = None
+
+    @property
+    def g1_count(self) -> int:
+        if self.g1_limbs is not None:
+            return self.g1_limbs.shape[0]
+        return len(self.g1)
 
 
 def next_power_of_two(n: int) -> int:
@@ -160,6 +170,8 @@ def test_only_srs(curve: CurveParams, g1_count: int) -> SRS:
     [tau^i] G1 computed with the device scalar-mul kernel (batched
     double-and-add over the generator), cached on disk per (curve, count).
     """
+    if g1_count > (1 << 16):
+        return _test_only_srs_large(curve, g1_count)
     cache_file = os.path.join(
         CACHE_DIR, f"testsrs_{curve.name}_{g1_count}.npz"
     )
@@ -205,6 +217,55 @@ def test_only_srs(curve: CurveParams, g1_count: int) -> SRS:
         g1=g1,
         vk_g1=curve.g1,
         vk_g2=(g2_gen, hfp.ec_mul(F2, g2_gen, tau)),
+    )
+
+
+def _test_only_srs_large(curve: CurveParams, g1_count: int) -> SRS:
+    """test_only_srs for million-point sizes: tau powers, bit decomposition
+    and the batched double-and-add all stay on device; the result is cached
+    and returned as a Montgomery limb array (SRS.g1_limbs), never as host
+    int tuples."""
+    import jax.numpy as jnp
+
+    from ..fields.params import LIMB_BITS  # noqa: F401 (doc anchor)
+    from ..fields import limbs as limbs_mod
+    from ..ops.curve import curve_ops
+    from ..ops.field import field_ops
+    from ..ops import poly as polyops
+
+    cache_file = os.path.join(
+        CACHE_DIR, f"testsrs_limbs_{curve.name}_{g1_count}.npz"
+    )
+    tau = _test_tau(curve)
+    if os.path.exists(cache_file):
+        g1_limbs = np.load(cache_file)["g1"]
+    else:
+        ops = curve_ops(curve)
+        f = field_ops(curve.fr)
+        tau_mont = jnp.asarray(
+            limbs_mod.ints_to_mont_limbs([tau], curve.fr)[0]
+        )
+        pows = polyops.powers(f, tau_mont, g1_count)        # [N, L] mont
+        nbits = curve.fr.modulus.bit_length()
+        bits = f.bits_from_mont(pows, nbits)                # [N, nbits]
+        base = jnp.asarray(
+            np.broadcast_to(
+                np.asarray(ops.encode_affine([curve.g1])), (g1_count, 2, ops.L)
+            )
+        )
+        aff = ops.to_affine(ops.scalar_mul(base, bits))
+        g1_limbs = np.asarray(aff, dtype=np.int32)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.savez(cache_file, g1=g1_limbs)
+
+    F2 = hfp.GF2(curve.fp.modulus, curve.fp2_nonresidue)
+    g2_gen = (curve.g2_x, curve.g2_y)
+    return SRS(
+        curve=curve,
+        g1=[],
+        vk_g1=curve.g1,
+        vk_g2=(g2_gen, hfp.ec_mul(F2, g2_gen, tau)),
+        g1_limbs=g1_limbs,
     )
 
 
