@@ -245,52 +245,59 @@ def suffix_window_sums(ops: CurveOps, buckets):
     (digit d = k + 1),
 
       sum_k (k+1) B_k = FACT_L * sum_h h C_h + sum_l l D_l + sum_k B_k,
-      C_h = sum_l B[h, l],   D_l = sum_h B[h, l],
+      C_h = sum_l B[h, l],   D_l = sum_h B[h, l].
 
-    which is two short reductions plus two short weighted suffix walks at
-    [nw * FACT] lanes.  The cross-window Horner fold lives in MsmCtx._host_fold
-    (single-chip) / suffix_and_fold (multi-chip)."""
+    Graph economy is the binding constraint here (compile cost ~= 1s per
+    field-mul per *distinct* traced point-op body — BASELINE.md cost model),
+    so the reductions/walks are batched into exactly four loop bodies:
+
+      1. one joint reduction producing C and D together (grid and its
+         transpose stacked on a leading axis of 2),
+      2. one joint two-accumulator weighted suffix walk over the stacked
+         [C; D] rows (running suffix + weighted total),
+      3. five doublings of wh (FACT_L = 2^5),
+      4. one stacked 4-way reduction computing
+         S_w = wh*32 + wl + (running_C + C_0)   (running_C = sum_{h>=1} C_h,
+         so running_C + C_0 = sum_k B_k).
+
+    The cross-window Horner fold lives in MsmCtx._host_fold (single-chip) /
+    suffix_and_fold (multi-chip)."""
     nw = buckets.shape[0]
-    assert NUM_BUCKETS == FACT_H * FACT_L
+    assert NUM_BUCKETS == FACT_H * FACT_L and FACT_H == FACT_L
     grid = buckets.reshape(nw, FACT_H, FACT_L, 3, ops.L)
+    # stacked [2, nw, 32, 32, 3, L]: lane 0 reduces over l -> C, lane 1 over h -> D
+    both = jnp.stack([grid, jnp.swapaxes(grid, 1, 2)])
 
-    def red_l(i, acc):                         # C_h = sum_l B[h, l]
-        return ops.jac_add(acc, grid[:, :, i])
+    def red(i, acc):
+        return ops.jac_add(acc, both[:, :, :, i])
 
-    c = jax.lax.fori_loop(0, FACT_L, red_l, ops.jac_infinity((nw, FACT_H)))
+    cd = jax.lax.fori_loop(
+        0, FACT_L, red, ops.jac_infinity((2, nw, FACT_H))
+    )  # cd[0] = C [nw, FACT_H], cd[1] = D [nw, FACT_L]
 
-    def red_h(i, acc):                         # D_l = sum_h B[h, l]
-        return ops.jac_add(acc, grid[:, i])
-
-    d = jax.lax.fori_loop(0, FACT_H, red_h, ops.jac_infinity((nw, FACT_L)))
-
-    def wsuffix(arr, count):
+    def walk(i, acc):
         # sum_i i * arr[i] = sum of suffix sums arr[i:] for i >= 1
-        def body(i, acc):
-            running, total = acc
-            running = ops.jac_add(running, arr[:, count - 1 - i])
-            total = ops.jac_add(total, running)
-            return running, total
+        running, total = acc
+        running = ops.jac_add(running, cd[:, :, FACT_H - 1 - i])
+        total = ops.jac_add(total, running)
+        return running, total
 
-        init = (ops.jac_infinity((nw,)), ops.jac_infinity((nw,)))
-        _, total = jax.lax.fori_loop(0, count - 1, body, init)
-        return total
-
-    wh = wsuffix(c, FACT_H)                    # sum_h h C_h
-    wl = wsuffix(d, FACT_L)                    # sum_l l D_l
-
-    def red_c(i, acc):                         # sum_k B_k = sum_h C_h
-        return ops.jac_add(acc, c[:, i])
-
-    all_b = jax.lax.fori_loop(0, FACT_H, red_c, ops.jac_infinity((nw,)))
+    init = (ops.jac_infinity((2, nw)), ops.jac_infinity((2, nw)))
+    running, total = jax.lax.fori_loop(0, FACT_H - 1, walk, init)
+    wh, wl = total[0], total[1]                # sum_h h C_h, sum_l l D_l
 
     def dbl(_, a):
         return ops.jac_double(a)
 
-    # S_w = FACT_L * wh + wl + all_b  (FACT_L = 2^5: five doublings)
     assert FACT_L == 32
-    wh32 = jax.lax.fori_loop(0, 5, dbl, wh)
-    return ops.jac_add(wh32, ops.jac_add(wl, all_b))
+    wh32 = jax.lax.fori_loop(0, 5, dbl, wh)    # FACT_L * wh
+    # S_w = wh32 + wl + (running_C + C_0); one stacked reduction
+    parts = jnp.stack([wh32, wl, running[0], cd[0, :, 0]])  # [4, nw, 3, L]
+
+    def red4(i, acc):
+        return ops.jac_add(acc, parts[i])
+
+    return jax.lax.fori_loop(0, 4, red4, ops.jac_infinity((nw,)))
 
 
 def suffix_and_fold(ops: CurveOps, buckets):
@@ -303,10 +310,11 @@ def suffix_and_fold(ops: CurveOps, buckets):
     window_sums = suffix_window_sums(ops, buckets)
 
     def fold(acc, wsum):
-        # unrolled doublings: one scan body of 8 doubles + 1 add costs far
-        # less wall-clock than a nested 8-iteration loop of tiny ops
-        for _ in range(WINDOW_BITS):
-            acc = ops.jac_double(acc)
+        # doublings via fori_loop: one traced jac_double body instead of
+        # WINDOW_BITS unrolled copies (compile cost is per distinct body)
+        acc = jax.lax.fori_loop(
+            0, WINDOW_BITS, lambda _, a: ops.jac_double(a), acc
+        )
         return ops.jac_add(acc, wsum), None
 
     acc, _ = jax.lax.scan(fold, ops.jac_infinity(), window_sums, reverse=True)
