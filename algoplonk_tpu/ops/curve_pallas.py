@@ -86,12 +86,19 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
     consts_np = _curve_consts(curve)
     mats_np = field_mats(curve.fp)  # [6L, L] float32 (staged as bf16)
 
-    def kernel(consts_ref, mats_ref, acc_ref, pts_ref, out_ref):
-        f = FieldVals(curve.fp, consts_ref[:3], mats_ref[:])
-        b3 = consts_ref[3][:, None]
+    # b3 travels as a pre-broadcast [L, tile] operand: slicing a row out of
+    # the consts ref in-kernel (c_ref[3], or loading then slicing) crashes
+    # libtpu ("Check failed: limits[i] <= dim(i)"), and broadcasting the
+    # resulting [1, 1]/[L, 1] vector inside kara_cols is the round-2 Mosaic
+    # "Broadcast in both sublanes and lanes" failure.  45 KB of VMEM well
+    # spent.
+    b3_np = np.broadcast_to(consts_np[3][:, None], (L, tile)).copy()
+
+    def kernel(consts_ref, mats_ref, b3_ref, acc_ref, pts_ref, out_ref):
+        f = FieldVals(curve.fp, consts_ref[:], mats_ref[:])
         x3, y3, z3 = _mixed_add_body(
             f,
-            b3,
+            b3_ref[:],
             (acc_ref[0], acc_ref[1], acc_ref[2]),
             (pts_ref[0], pts_ref[1]),
         )
@@ -100,8 +107,9 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
         out_ref[2] = z3
 
     def run(acc, pts):
-        consts = jnp.asarray(consts_np)
+        consts = jnp.asarray(consts_np[:3])
         mats = jnp.asarray(mats_np, jnp.bfloat16)
+        b3 = jnp.asarray(b3_np)
         b = acc.shape[-1]
         assert b % tile == 0, (b, tile)
         grid = (b // tile,)
@@ -110,14 +118,86 @@ def pallas_mixed_add(curve: CurveParams, tile: int = 512):
             out_shape=jax.ShapeDtypeStruct((3, L, b), jnp.int32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((4, L), lambda i: (0, 0)),
+                pl.BlockSpec((3, L), lambda i: (0, 0)),
                 pl.BlockSpec((6 * L, L), lambda i: (0, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, 0)),
                 pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
                 pl.BlockSpec((2, L, tile), lambda i: (0, 0, i)),
             ],
             out_specs=pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
             interpret=_interpret(),
-        )(consts, mats, acc, pts)
+        )(consts, mats, b3, acc, pts)
+
+    return run
+
+
+def _jac_add_body(f: FieldVals, b3, p, q):
+    """RCB complete projective + projective add (a=0, 12M) in limbs-major
+    values.  p, q: (X, Y, Z) each [L, T].  Mirrors ops/curve.py jac_add."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = f.mul(X1, X2)
+    t1 = f.mul(Y1, Y2)
+    t2 = f.mul(Z1, Z2)
+    t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
+    t3 = f.sub(t3, f.add(t0, t1))            # X1Y2 + X2Y1
+    t4 = f.mul(f.add(Y1, Z1), f.add(Y2, Z2))
+    t4 = f.sub(t4, f.add(t1, t2))            # Y1Z2 + Y2Z1
+    t5 = f.mul(f.add(X1, Z1), f.add(X2, Z2))
+    t5 = f.sub(t5, f.add(t0, t2))            # X1Z2 + X2Z1
+    t0 = f.add(f.add(t0, t0), t0)            # 3 X1X2
+    t2 = f.mul(b3, t2)                       # b3 Z1Z2
+    z3 = f.add(t1, t2)
+    t1 = f.sub(t1, t2)
+    y3 = f.mul(b3, t5)
+    x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
+    y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
+    z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+    return x3, y3, z3
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_jac_add(curve: CurveParams, tile: int = 512):
+    """Jittable fused complete projective add:
+    (p [3, L, B], q [3, L, B]) -> [3, L, B], B a multiple of ``tile``."""
+    L = curve.fp.nlimbs
+    consts_np = _curve_consts(curve)  # numpy — see pallas_mixed_add
+    mats_np = field_mats(curve.fp)
+    b3_np = np.broadcast_to(consts_np[3][:, None], (L, tile)).copy()
+
+    def kernel(consts_ref, mats_ref, b3_ref, p_ref, q_ref, out_ref):
+        f = FieldVals(curve.fp, consts_ref[:], mats_ref[:])
+        x3, y3, z3 = _jac_add_body(
+            f,
+            b3_ref[:],
+            (p_ref[0], p_ref[1], p_ref[2]),
+            (q_ref[0], q_ref[1], q_ref[2]),
+        )
+        out_ref[0] = x3
+        out_ref[1] = y3
+        out_ref[2] = z3
+
+    def run(p, q):
+        consts = jnp.asarray(consts_np[:3])
+        mats = jnp.asarray(mats_np, jnp.bfloat16)
+        b3 = jnp.asarray(b3_np)
+        b = p.shape[-1]
+        assert b % tile == 0, (b, tile)
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3, L, b), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, L), lambda i: (0, 0)),
+                pl.BlockSpec((6 * L, L), lambda i: (0, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, 0)),
+                pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+                pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+            interpret=_interpret(),
+        )(consts, mats, b3, p, q)
 
     return run
 

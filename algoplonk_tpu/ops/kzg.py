@@ -18,7 +18,7 @@ from ..host import fp as hfp
 from ..host.pairing import pairing_engine
 from .curve import curve_ops
 from .field import field_ops
-from .msm import msm_ctx, digits_from_mont_limbs
+from .msm import msm_ctx
 from . import poly as polyops
 
 
@@ -40,14 +40,14 @@ class KZG:
 
     def commit(self, coeffs) -> tuple:
         """Monomial-basis commit of [d, L] Montgomery coefficients."""
-        digits = digits_from_mont_limbs(self.f, coeffs)
-        return self.msm.msm_to_affine_int(self.srs[: coeffs.shape[0]], digits)
+        return self.msm.msm_to_affine_int(
+            self.srs[: coeffs.shape[0]], coeffs, kind="mont"
+        )
 
     def commit_lagrange(self, evals, lagrange_srs_dev) -> tuple:
         """Eval-basis commit against a Lagrange SRS (see ops/gntt.py)."""
-        digits = digits_from_mont_limbs(self.f, evals)
         return self.msm.msm_to_affine_int(
-            lagrange_srs_dev[: evals.shape[0]], digits
+            lagrange_srs_dev[: evals.shape[0]], evals, kind="mont"
         )
 
     def open(self, coeffs, z: int) -> KzgOpening:

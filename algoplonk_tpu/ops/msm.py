@@ -1,49 +1,61 @@
-"""Multi-scalar multiplication (Pippenger) on TPU.
+"""Multi-scalar multiplication on TPU — prefix-scan bucket method.
 
 This is the north-star kernel (BASELINE.md): it replaces gnark-crypto's
 multicore bucket MSM that executes every KZG commitment inside plonk.Prove
 (reference algoplonk.go:89).
 
-TPU-first reformulation of the bucket method (SURVEY.md section 7 hard part
-#3 — "Pippenger without scatter"):
+TPU-first reformulation of Pippenger (SURVEY.md section 7 hard part #3 —
+"Pippenger without scatter"), round-3 design:
 
-* scalars are recoded into signed balanced c = 11 windows (d in [-1024,
-  1024]); the bucket index is |d| with the sign folded into the point gather
-  (y -> -y), so 254-bit scalars need nw = 24 windows of 1024 buckets —
-  total accumulate work nw * N is ~2x less than unsigned 8-bit windows;
-* digits are sorted per window by |d| — sorting turns the scatter-shaped
-  bucket accumulation into a contiguous segment problem: bucket d's members
-  are a contiguous run of the sort order, materialized as a dense
-  [NUM_BUCKETS, M] packed index block (M = max non-zero bucket population,
-  padded with an index pointing at the affine infinity row);
-* bucket accumulation is a single lax.fori_loop over the M member slots: one
-  step gathers one signed point per (window, bucket) lane and performs one
-  batched complete mixed addition over all nw*NUM_BUCKETS lanes — wide,
-  branch-free vector work with zero scatter;
-* per-window weighted sums (sum_d d * B_d) use two-accumulator suffix walks
-  over the 32 x 32 bucket-index factorization; the cross-window Horner fold
-  (~250 sequential width-1 doublings) runs on HOST bigint EC (~2 ms) instead
-  of paying ~100 ms of device dispatch latency (see MsmCtx._host_fold);
-* zero digits are excluded from M so sparse scalar vectors (common for
-  selector polynomials) cost nothing.
+* scalars are recoded into signed balanced c = 11-bit windows (digit in
+  [-1024, 1024]); the bucket index is |d| with the sign folded into the
+  point gather (y -> -y), so 254-bit scalars need nw = 24 windows of
+  D = 1024 buckets;
+* per window, entries are sorted by |d| (argsort) — bucket d's members are
+  then a contiguous run [e_{d-1}+1 .. e_d] of the sort order, where
+  e_d = (last index with |digit| <= d);
+* bucket sums come from *unsegmented inclusive prefix sums* of the sorted
+  signed points: B_d = P[e_d] - P[e_{d-1}] (group subtraction is free:
+  negate y).  The window sum telescopes —
 
-The ENTIRE msm — index build, accumulation loop, suffix walk, window fold —
-is one jitted function per (N, M-grid, nw) triple.  This shape is dictated by
-the host: compiles cost milliseconds *per HLO op* here (2-core CPU backend /
-remote TPU compile tunnel), and each host->device dispatch costs ~10ms
-through the tunnel, so the kernel must be a small closed graph (a few
-fori/scan bodies, no unrolled tree levels) with no host round trips inside.
-Total work is nw * 255 * M mixed adds; with M ~= 1.5x the mean bucket
-population this sits within ~1.7x of scatter-based Pippenger's add count
-while being fully vectorized.
+      S_w = sum_d d * B_d  =  D * P[e_D]  -  sum_{d=0}^{D-1} P[e_d]
 
-M is data-dependent: it is measured on device, pulled to host once per call
-(the only sync), and rounded up to the nearest 2^k or 3*2^k so the jitted
-kernel is reused across calls.
+  so only the D+1 prefix values P[e_d] are ever needed, and the suffix
+  bucket walk of classic Pippenger disappears;
+* the prefix sums are computed block-decomposed, all shapes static:
+    phase 1: K-entry in-block reduction (K steps of width nw*N/K mixed
+             adds) -> per-block sums;
+    phase 2: Kogge-Stone inclusive scan over the nw*N/K block sums
+             (log2(N/K) complete-add steps);
+    phase 3: for each of the nw*(D+1) targets e_d, re-scan just the block
+             containing e_d (K masked mixed-add steps of width nw*(D+1))
+             and add the preceding block's scan value;
+    phase 4: tree-reduce the D prefix values per window (10 halvings),
+             10 doublings for D*P[e_D], one subtraction -> S_w.
+  Total sequential depth ~ 2K + log2(N/K) + 20 steps, *independent of the
+  scalar distribution* — the round-2 design's data-dependent bucket
+  capacity M (a host sync + a recompile per M, and M ~ N/4 for real
+  254-bit scalars whose top window is concentrated) is gone;
+* every step is wide branch-free vector work with zero scatter; the adds
+  run as fused Pallas kernels on TPU (ops/curve_pallas.py: complete RCB
+  mixed and projective adds with all intermediates in VMEM) and as
+  XLA-composed ops elsewhere (CPU tests / fallback);
+* the cross-window Horner fold (~250 sequential width-1 doublings) runs on
+  HOST bigint EC (~2 ms) instead of paying device dispatch latency
+  (MsmCtx._host_fold); the device-resident fold_windows exists for the
+  shard_map'd multi-chip path.
 
-Multi-chip: the bucket decomposition distributes over point shards, so the
-sharded MSM in parallel/msm_sharded.py runs the same kernel shape per shard
-inside shard_map and jac-adds the D partial results (one tiny collective).
+The ENTIRE device pipeline — sort, searchsorted, scans, gathers — is one
+jitted function per N: no data-dependent shapes, no host round trips.
+
+Small N (every selector commit of a toy circuit, most of the test suite)
+skips the device entirely: a host Pippenger over python bigints answers in
+milliseconds where an XLA compile would cost seconds to minutes
+(AP_HOST_MSM_MAX, default 1024).
+
+Multi-chip: the window-sum decomposition distributes over point shards, so
+parallel/msm_sharded.py runs the same traceable pipeline per shard inside
+shard_map and folds the D projective partials with one tiny collective.
 """
 
 from __future__ import annotations
@@ -59,109 +71,90 @@ from ..fields.params import CurveParams
 from .curve import CurveOps, curve_ops
 
 WINDOW_BITS = 11
-# signed balanced digits d in [-2^(c-1), 2^(c-1)-1]: bucket index |d| in
-# 1..2^(c-1) (digit 0 excluded), point negation folded into the gather —
-# halves the bucket count per window AND cuts the window count from 32 to 24
-# for 254-bit scalars, so total accumulate work (nw * buckets * M ~ nw * N *
-# pad) drops ~2x vs unsigned 8-bit windows
+# signed balanced digits d in [-2^(c-1), 2^(c-1)]: bucket index |d| in
+# 1..2^(c-1), point negation folded into the gather — halves the bucket
+# count AND cuts the window count from 32 to 24 for 254-bit scalars
 NUM_BUCKETS = 1 << (WINDOW_BITS - 1)
 _HALF = 1 << (WINDOW_BITS - 1)
-FACT_H = 32  # NUM_BUCKETS = FACT_H * FACT_L (suffix-walk decomposition)
-FACT_L = NUM_BUCKETS // FACT_H
 SIGN_SHIFT = 26  # bit of the packed member index carrying the digit sign
 _ROW_MASK = (1 << SIGN_SHIFT) - 1
+_TILE = 512      # pallas lane tile; lane counts pad up to a multiple
 
 
-def _num_windows(nbits: int) -> int:
-    return -(-nbits // WINDOW_BITS)
+def _num_windows(nbits: int, c: int = WINDOW_BITS) -> int:
+    return -(-nbits // c)
 
 
-def scalar_digits(scalars, nbytes: int = 32) -> np.ndarray:
+def num_windows(c: int = WINDOW_BITS) -> int:
+    """Windows for a 256-bit scalar buffer, with one bit of headroom so the
+    balanced signed recode's final carry always lands inside the top window
+    (reachable for BLS12-381's 255-bit r when c divides 256)."""
+    return _num_windows(257, c)
+
+
+def pick_window_bits(n: int) -> int:
+    """Window size from N (classic Pippenger c ~ log2(N) - slack): keeps
+    the nw*(2^(c-1)+1) lane widths — and with them compile time and padding
+    waste — proportional to the problem for small MSMs."""
+    return max(2, min(WINDOW_BITS, n.bit_length() - 2))
+
+
+def scalar_digits(scalars, nbytes: int = 32, c: int = WINDOW_BITS) -> np.ndarray:
     """Python ints -> [nw, N] signed balanced window digits (int32, LSB
     window first): sum_w d_w 2^(c w) = s with d_w in [-2^(c-1), 2^(c-1)]."""
     n = len(scalars)
-    nb = nbytes + 2  # slack for 3-byte window reads
+    half = 1 << (c - 1)
+    nb = nbytes + 3  # slack for 3-byte reads from the headroom window
     buf = b"".join(int(s).to_bytes(nb, "little") for s in scalars)
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, nb).astype(np.int64)
-    nw = _num_windows(8 * nbytes)
-    mask = (1 << WINDOW_BITS) - 1
+    nw = num_windows(c)
+    mask = (1 << c) - 1
     digs = np.zeros((nw, n), np.int64)
     for w in range(nw):
-        k, off = divmod(WINDOW_BITS * w, 8)
+        k, off = divmod(c * w, 8)
         v = (arr[:, k] | (arr[:, k + 1] << 8) | (arr[:, k + 2] << 16)) >> off
         digs[w] = v & mask
     carry = np.zeros(n, np.int64)
     for w in range(nw):
         v = digs[w] + carry
-        carry = (v >= _HALF).astype(np.int64)
-        digs[w] = v - (carry << WINDOW_BITS)
+        carry = (v >= half).astype(np.int64)
+        digs[w] = v - (carry << c)
     if carry.any():
         raise ValueError("scalar overflows the window decomposition")
     return digs.astype(np.int32)
 
 
-def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32):
+def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32,
+                           c: int = WINDOW_BITS):
     """Montgomery [N, L] limb array -> [nw, N] signed window digits, on
     device (avoids the device->host->device round trip when MSM scalars are
     already resident — every KZG commit in the prover).  Windows are
-    re-packed from the 12-bit limbs with static shifts; the balanced signed
-    recode is a short static carry chain over the nw windows."""
+    re-packed from the 12-bit limbs with static shifts (c <= 12 spans at
+    most two limbs); the balanced signed recode is a short static carry
+    chain over the nw windows."""
     from ..fields.params import LIMB_BITS
 
+    half = 1 << (c - 1)
     canon = f.from_mont(mont_limbs)
-    nw = _num_windows(8 * nbytes)
-    mask = (1 << WINDOW_BITS) - 1
+    nw = num_windows(c)
+    mask = (1 << c) - 1
     cols = []
     for w in range(nw):
-        k, off = divmod(WINDOW_BITS * w, LIMB_BITS)
+        k, off = divmod(c * w, LIMB_BITS)
         if k >= f.L:
             cols.append(jnp.zeros(canon.shape[0], jnp.int32))
             continue
         b = canon[:, k] >> off
-        if k + 1 < f.L and off + WINDOW_BITS > LIMB_BITS:
+        if k + 1 < f.L and off + c > LIMB_BITS:
             b = b | (canon[:, k + 1] << (LIMB_BITS - off))
         cols.append(b & mask)
     carry = jnp.zeros(canon.shape[0], jnp.int32)
     out = []
     for w in range(nw):
         v = cols[w] + carry
-        carry = (v >= _HALF).astype(jnp.int32)
-        out.append(v - (carry << WINDOW_BITS))
+        carry = (v >= half).astype(jnp.int32)
+        out.append(v - (carry << c))
     return jnp.stack(out, axis=0)
-
-
-def _round_bucket_capacity(max_count: int) -> int:
-    """Round M up to the nearest 2^k or 3*2^k — a finer grid than pure
-    powers of two (padding waste <= 1/3 instead of <= 1/2) while keeping the
-    set of jitted kernel variants small."""
-    if max_count <= 2:
-        return max(max_count, 1)
-    p2 = 1 << (max_count - 1).bit_length()          # next power of two
-    p15 = 3 * (p2 >> 2)                             # 1.5 * previous pow2
-    return p15 if p15 >= max_count else p2
-
-
-def _bucket_indices(digits, m: int, n: int):
-    """[nw, N] signed digits -> [nw, NUM_BUCKETS, M] packed member indices
-    into the infinity-padded point table: low bits = point row (n = padding),
-    bit SIGN_SHIFT = negate-the-point flag (digit was negative)."""
-
-    def window_indices(digits_w):
-        mag = jnp.abs(digits_w)
-        order = jnp.argsort(mag)
-        sorted_mag = mag[order]
-        sign = (digits_w[order] < 0).astype(jnp.int32)
-        packed = order | (sign << SIGN_SHIFT)
-        dvals = jnp.arange(1, NUM_BUCKETS + 1, dtype=jnp.int32)
-        left = jnp.searchsorted(sorted_mag, dvals, side="left")
-        right = jnp.searchsorted(sorted_mag, dvals, side="right")
-        counts = right - left                      # [NUM_BUCKETS]
-        offs = jnp.arange(m, dtype=jnp.int32)
-        idx = left[:, None] + offs[None]           # [NUM_BUCKETS, M]
-        valid = offs[None] < counts[:, None]
-        return jnp.where(valid, packed[jnp.clip(idx, 0, n - 1)], n)
-
-    return jax.vmap(window_indices)(digits)
 
 
 def _gather_signed(ops: CurveOps, points_pad, packed):
@@ -179,141 +172,203 @@ def _gather_signed(ops: CurveOps, points_pad, packed):
     )
 
 
-def bucket_accumulate(ops: CurveOps, points_pad, digits, m: int):
-    """Shared kernel body: [N+1, 2, L] infinity-padded points + [nw, N]
-    signed digits -> [nw, NUM_BUCKETS, 3, L] bucket sums, with static member
-    capacity m.
+class _Adders:
+    """Point-add backends for the scan pipeline.
 
-    Traceable (used inside the shard_map'd multi-chip step and as the CPU
-    fallback of the single-chip path)."""
-    n = points_pad.shape[0] - 1
-    nw = digits.shape[0]
-    gidx = _bucket_indices(digits, m, n)           # [nw, NUM_BUCKETS, M]
+    All pipeline state is limbs-major [3, L, W] (batch minor -> 128-lane
+    VPU axis, ops/field_pallas.py).  On TPU the adds are fused Pallas
+    kernels; the XLA fallback transposes to batch-major around ops/curve.py
+    (correctness path for CPU tests and for Mosaic-failure fallback)."""
 
-    def acc_body(j, acc):
-        pts = _gather_signed(ops, points_pad, gidx[:, :, j])
-        return ops.jac_add_affine(acc, pts)
+    def __init__(self, ops: CurveOps, use_pallas: bool):
+        self.ops = ops
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from .curve_pallas import pallas_jac_add, pallas_mixed_add
 
-    acc0 = ops.jac_infinity((nw, NUM_BUCKETS))
-    return jax.lax.fori_loop(0, m, acc_body, acc0)
+            self._mixed = pallas_mixed_add(ops.curve, _TILE)
+            self._jac = pallas_jac_add(ops.curve, _TILE)
+
+    def inf(self, w: int):
+        """Limbs-major identity (0 : 1 : 0) at lane width w."""
+        f = self.ops.f
+        z = jnp.zeros((self.ops.L, w), jnp.int32)
+        one = jnp.broadcast_to(f.one[:, None], (self.ops.L, w))
+        return jnp.stack([z, one, z])
+
+    def mixed(self, acc_lm, pts_bm):
+        """acc [3, L, W] (+) pts [W, 2, L] -> [3, L, W]."""
+        if self.use_pallas:
+            return self._mixed(acc_lm, jnp.transpose(pts_bm, (1, 2, 0)))
+        out = self.ops.jac_add_affine(
+            jnp.transpose(acc_lm, (2, 0, 1)), pts_bm
+        )
+        return jnp.transpose(out, (1, 2, 0))
+
+    def jac(self, a_lm, b_lm):
+        """Complete projective add, both limbs-major [3, L, W]."""
+        if self.use_pallas:
+            return self._jac(a_lm, b_lm)
+        out = self.ops.jac_add(
+            jnp.transpose(a_lm, (2, 0, 1)), jnp.transpose(b_lm, (2, 0, 1))
+        )
+        return jnp.transpose(out, (1, 2, 0))
 
 
-def bucket_accumulate_pallas(ops: CurveOps, points_pad, digits, m: int,
-                             tile: int = 512):
-    """TPU fast path: same contract as bucket_accumulate, but the inner
-    complete mixed addition runs as one fused Pallas kernel over a
-    limbs-major [3, L, B] accumulator (see ops/curve_pallas.py)."""
-    from .curve_pallas import pallas_mixed_add
+def _pad_lanes(n: int) -> int:
+    return -(-n // _TILE) * _TILE
 
-    n = points_pad.shape[0] - 1
-    nw = digits.shape[0]
-    gidx = _bucket_indices(digits, m, n)           # [nw, NUM_BUCKETS, M]
-    b = nw * NUM_BUCKETS
-    b_pad = -(-b // tile) * tile
-    gidx = jnp.concatenate(
-        [
-            gidx.reshape(b, m),
-            jnp.full((b_pad - b, m), n, jnp.int32),
-        ]
-    )
+
+def window_sums_scan(
+    ops: CurveOps, points_pad, digits, c: int = WINDOW_BITS,
+    k_block: int = 16, use_pallas: bool = False,
+):
+    """[N+1, 2, L] infinity-padded affine points + [nw, N] signed digits
+    (window size c) -> [nw, 3, L] batch-major window sums S_w = sum_d d*B_d.
+
+    Fully traceable, all shapes static in N (module docstring has the
+    algorithm).  Used by the single-chip MsmCtx and, per shard, by
+    parallel/msm_sharded.py."""
     f = ops.f
-    acc0 = jnp.zeros((3, ops.L, b_pad), jnp.int32)
-    acc0 = acc0.at[1].set(jnp.broadcast_to(f.one[:, None], (ops.L, b_pad)))
-    mixed = pallas_mixed_add(ops.curve, tile)
+    n = points_pad.shape[0] - 1
+    nw = digits.shape[0]
+    D = 1 << (c - 1)
+    K = max(1, min(k_block, n))
+    n_pad = -(-n // K) * K
+    nblk = n_pad // K
+    add = _Adders(ops, use_pallas)
 
-    def acc_body(j, acc):
-        idx = jax.lax.dynamic_index_in_dim(gidx, j, axis=1, keepdims=False)
-        pts = jnp.transpose(
-            _gather_signed(ops, points_pad, idx), (1, 2, 0)
-        )  # [2, L, B]
-        return mixed(acc, pts)
+    # ---- sort each window by |digit|; pad with (mag > D, index n) entries
+    mag = jnp.abs(digits)
+    order = jnp.argsort(mag, axis=1)
+    smag = jnp.take_along_axis(mag, order, axis=1)
+    sign = (jnp.take_along_axis(digits, order, axis=1) < 0).astype(jnp.int32)
+    packed = order | (sign << SIGN_SHIFT)
+    if n_pad > n:
+        smag = jnp.concatenate(
+            [smag, jnp.full((nw, n_pad - n), D + 1, jnp.int32)], axis=1
+        )
+        packed = jnp.concatenate(
+            [packed, jnp.full((nw, n_pad - n), n, jnp.int32)], axis=1
+        )
+    # [K, nw, nblk]: member j of each block, contiguous per loop step
+    packed_blk = jnp.transpose(packed.reshape(nw, nblk, K), (2, 0, 1))
 
-    acc = jax.lax.fori_loop(0, m, acc_body, acc0)
-    return jnp.transpose(acc[:, :, :b], (2, 0, 1)).reshape(
-        nw, NUM_BUCKETS, 3, ops.L
+    # ---- phase 1: in-block reduction -> block sums [3, L, W1p]
+    w1 = nw * nblk
+    w1p = _pad_lanes(w1)
+
+    def p1_body(j, acc):
+        idx = packed_blk[j].reshape(w1)
+        idx = jnp.concatenate([idx, jnp.full((w1p - w1,), n, jnp.int32)])
+        return add.mixed(acc, _gather_signed(ops, points_pad, idx))
+
+    block_sums = jax.lax.fori_loop(0, K, p1_body, add.inf(w1p))
+
+    # ---- phase 2: Kogge-Stone inclusive scan over block sums (per window)
+    # lane layout w*nblk + b; a shift by s must not cross window boundaries.
+    # One traced body (dynamic shift s = 2^i) — compile cost is per distinct
+    # body on this host, so the log2(nblk) steps share a fori_loop.
+    b_idx = jnp.asarray(np.concatenate(
+        [np.tile(np.arange(nblk, dtype=np.int32), nw),
+         np.full(w1p - w1, -1, np.int32)]
+    ))
+    inf_w1p = add.inf(w1p)
+
+    def p2_body(i, scan):
+        sh = 1 << i
+        shifted = jnp.roll(scan, sh, axis=2)
+        shifted = jnp.where((b_idx < sh)[None, None, :], inf_w1p, shifted)
+        return add.jac(scan, shifted)
+
+    n_steps = max(0, (nblk - 1).bit_length())
+    scan = jax.lax.fori_loop(0, n_steps, p2_body, block_sums)
+
+    # ---- phase 3: P[e_d] for d = 0..D per window
+    dvals = jnp.arange(0, D + 1, dtype=jnp.int32)
+    e = jax.vmap(
+        lambda row: jnp.searchsorted(row, dvals, side="right")
+    )(smag).astype(jnp.int32) - 1                  # [nw, D+1], in [-1, n-1]
+    eb = jnp.where(e >= 0, e // K, -1)
+    r = jnp.where(e >= 0, e - eb * K, -1)
+
+    # preceding block's scan value (batch-major gather on rows)
+    scan_bm = jnp.transpose(scan, (2, 0, 1))       # [W1p, 3, L]
+    w_ids = jnp.broadcast_to(
+        jnp.arange(nw, dtype=jnp.int32)[:, None], (nw, D + 1)
+    )
+    prev = eb - 1
+    lane = w_ids * nblk + jnp.clip(prev, 0, nblk - 1)
+    base_bm = scan_bm[lane.reshape(-1)]            # [nw*(D+1), 3, L]
+    base_bm = jnp.where(
+        (prev < 0).reshape(-1)[:, None, None],
+        ops.jac_infinity((nw * (D + 1),)),
+        base_bm,
     )
 
+    # members of the block containing each e_d: [K, nw, D+1]
+    blk_members = jnp.take_along_axis(
+        jnp.transpose(packed_blk, (1, 2, 0)),      # [nw, nblk, K]
+        jnp.clip(eb, 0, nblk - 1)[:, :, None],
+        axis=1,
+    )                                              # [nw, D+1, K]
+    blk_members = jnp.transpose(blk_members, (2, 0, 1))
 
-def suffix_window_sums(ops: CurveOps, buckets):
-    """[nw, NUM_BUCKETS, 3, L] bucket sums -> [nw, 3, L] window sums S_w
-    (traceable).
+    w2 = nw * (D + 1)
+    w2p = _pad_lanes(w2)
 
-    Per window: S_w = sum_d d * B_d, d = 1..NUM_BUCKETS.  The naive suffix
-    walk is 2*NUM_BUCKETS sequential adds over only [nw] lanes — on TPU each
-    tiny step pays the same latency as a wide one, so the walk is decomposed
-    over NUM_BUCKETS = FACT_H * FACT_L: writing bucket index k = FACT_L*h + l
-    (digit d = k + 1),
+    def p3_body(j, acc):
+        live = (j <= r) & (e >= 0)                 # [nw, D+1]
+        idx = jnp.where(live, blk_members[j], n).reshape(w2)
+        idx = jnp.concatenate([idx, jnp.full((w2p - w2,), n, jnp.int32)])
+        return add.mixed(acc, _gather_signed(ops, points_pad, idx))
 
-      sum_k (k+1) B_k = FACT_L * sum_h h C_h + sum_l l D_l + sum_k B_k,
-      C_h = sum_l B[h, l],   D_l = sum_h B[h, l].
+    in_block = jax.lax.fori_loop(0, K, p3_body, add.inf(w2p))
 
-    Graph economy is the binding constraint here (compile cost ~= 1s per
-    field-mul per *distinct* traced point-op body — BASELINE.md cost model),
-    so the reductions/walks are batched into exactly four loop bodies:
+    base_lm = jnp.transpose(base_bm, (1, 2, 0))    # [3, L, W2]
+    if w2p > w2:
+        base_lm = jnp.concatenate([base_lm, add.inf(w2p - w2)], axis=2)
+    p_e = add.jac(base_lm, in_block)               # [3, L, W2p]
+    p_e = jnp.transpose(p_e[:, :, :w2], (2, 0, 1)).reshape(nw, D + 1, 3, ops.L)
 
-      1. one joint reduction producing C and D together (grid and its
-         transpose stacked on a leading axis of 2),
-      2. one joint two-accumulator weighted suffix walk over the stacked
-         [C; D] rows (running suffix + weighted total),
-      3. five doublings of wh (FACT_L = 2^5),
-      4. one stacked 4-way reduction computing
-         S_w = wh*32 + wl + (running_C + C_0)   (running_C = sum_{h>=1} C_h,
-         so running_C + C_0 = sum_k B_k).
+    # ---- phase 4: S_w = D * P[e_D] - sum_{d<D} P[e_d]
+    top = p_e[:, D]                                # [nw, 3, L]
 
-    The cross-window Horner fold lives in MsmCtx._host_fold (single-chip) /
-    suffix_and_fold (multi-chip)."""
-    nw = buckets.shape[0]
-    assert NUM_BUCKETS == FACT_H * FACT_L and FACT_H == FACT_L
-    grid = buckets.reshape(nw, FACT_H, FACT_L, 3, ops.L)
-    # stacked [2, nw, 32, 32, 3, L]: lane 0 reduces over l -> C, lane 1 over h -> D
-    both = jnp.stack([grid, jnp.swapaxes(grid, 1, 2)])
+    # tree-sum along D at constant shape: new[j] = old[j] + old[j + D/2^i];
+    # lanes j < h stay exact (their sources stay < 2h), lanes >= h become
+    # wrap-around junk that is never consulted for lane 0.  One traced body.
+    def p4_body(i, acc):
+        h = D >> (i + 1)
+        return ops.jac_add(acc, jnp.roll(acc, -h, axis=1))
 
-    def red(i, acc):
-        return ops.jac_add(acc, both[:, :, :, i])
-
-    cd = jax.lax.fori_loop(
-        0, FACT_L, red, ops.jac_infinity((2, nw, FACT_H))
-    )  # cd[0] = C [nw, FACT_H], cd[1] = D [nw, FACT_L]
-
-    def walk(i, acc):
-        # sum_i i * arr[i] = sum of suffix sums arr[i:] for i >= 1
-        running, total = acc
-        running = ops.jac_add(running, cd[:, :, FACT_H - 1 - i])
-        total = ops.jac_add(total, running)
-        return running, total
-
-    init = (ops.jac_infinity((2, nw)), ops.jac_infinity((2, nw)))
-    running, total = jax.lax.fori_loop(0, FACT_H - 1, walk, init)
-    wh, wl = total[0], total[1]                # sum_h h C_h, sum_l l D_l
+    acc = jax.lax.fori_loop(
+        0, (D - 1).bit_length(), p4_body, p_e[:, :D]
+    )
+    prefix_sum = acc[:, 0]
 
     def dbl(_, a):
         return ops.jac_double(a)
 
-    assert FACT_L == 32
-    wh32 = jax.lax.fori_loop(0, 5, dbl, wh)    # FACT_L * wh
-    # S_w = wh32 + wl + (running_C + C_0); one stacked reduction
-    parts = jnp.stack([wh32, wl, running[0], cd[0, :, 0]])  # [4, nw, 3, L]
-
-    def red4(i, acc):
-        return ops.jac_add(acc, parts[i])
-
-    return jax.lax.fori_loop(0, 4, red4, ops.jac_infinity((nw,)))
+    d_top = jax.lax.fori_loop(0, c - 1, dbl, top)  # D * P[e_D], D = 2^(c-1)
+    neg_y = f.sub(jnp.zeros_like(prefix_sum[:, 1]), prefix_sum[:, 1])
+    neg_sum = jnp.concatenate(
+        [prefix_sum[:, 0:1], neg_y[:, None], prefix_sum[:, 2:3]], axis=1
+    )
+    return ops.jac_add(d_top, neg_sum)             # [nw, 3, L]
 
 
-def suffix_and_fold(ops: CurveOps, buckets):
-    """[nw, 255, 3, L] bucket sums -> [3, L] final accumulator (traceable).
+def fold_windows(ops: CurveOps, window_sums, c: int = WINDOW_BITS):
+    """[nw, 3, L] window sums -> [3, L] final accumulator (traceable).
 
     Device-resident Horner fold across windows — used where the result must
-    stay on device (the shard_map'd multi-chip step).  The single-chip MsmCtx
-    path folds on the host instead: ~250 sequential width-1 doublings cost
-    ~100 ms of op-dispatch latency on device vs ~2 ms of host bigint EC."""
-    window_sums = suffix_window_sums(ops, buckets)
+    stay on device (the shard_map'd multi-chip step).  The single-chip
+    MsmCtx folds on the host instead: ~250 sequential width-1 doublings
+    cost ~100 ms of op-dispatch latency on device vs ~2 ms of host bigint
+    EC."""
 
     def fold(acc, wsum):
-        # doublings via fori_loop: one traced jac_double body instead of
-        # WINDOW_BITS unrolled copies (compile cost is per distinct body)
         acc = jax.lax.fori_loop(
-            0, WINDOW_BITS, lambda _, a: ops.jac_double(a), acc
+            0, c, lambda _, a: ops.jac_double(a), acc
         )
         return ops.jac_add(acc, wsum), None
 
@@ -321,49 +376,119 @@ def suffix_and_fold(ops: CurveOps, buckets):
     return acc
 
 
+# --------------------------------------------------------------- host MSM
+
+def _host_digits(s: int, c: int) -> list:
+    """Signed balanced base-2^c digits of a non-negative int."""
+    out = []
+    half, full = 1 << (c - 1), 1 << c
+    while s:
+        d = s & (full - 1)
+        s >>= c
+        if d > half:
+            d -= full
+            s += 1
+        out.append(d)
+    return out
+
+
+def host_msm(curve: CurveParams, points: list, scalars: list):
+    """Pippenger over host bigints: points = [(x, y) | None], scalars =
+    python ints.  Returns affine int tuple or None.  Used below the
+    AP_HOST_MSM_MAX threshold, where an XLA compile would dwarf the work —
+    every selector commit of a small circuit, most of the test suite."""
+    from ..host import fp as hfp
+
+    F = hfp.GF(curve.fp.modulus)
+    n = len(points)
+    c = max(2, min(12, n.bit_length()))
+    # +1: the balanced signed recode's final carry can spill one window
+    nw = -(-curve.fr.modulus.bit_length() // c) + 1
+    buckets = [dict() for _ in range(nw)]
+    for p, s in zip(points, scalars):
+        if p is None or s == 0:
+            continue
+        neg = (p[0], (-p[1]) % curve.fp.modulus)
+        for w, d in enumerate(_host_digits(int(s), c)):
+            if d == 0:
+                continue
+            q = p if d > 0 else neg
+            b = buckets[w]
+            k = abs(d)
+            b[k] = hfp.ec_add(F, b.get(k), q) if k in b else q
+    acc = None
+    for w in range(nw - 1, -1, -1):
+        if acc is not None:
+            for _ in range(c):
+                acc = hfp.ec_double(F, acc)
+        run, tot = None, None
+        for k in range(max(buckets[w], default=0), 0, -1):
+            if k in buckets[w]:
+                run = hfp.ec_add(F, run, buckets[w][k])
+            if run is not None:
+                tot = hfp.ec_add(F, tot, run)
+        acc = hfp.ec_add(F, acc, tot) if tot is not None else acc
+    return acc
+
+
+HOST_MSM_MAX = int(os.environ.get("AP_HOST_MSM_MAX", "1024"))
+
+
 class MsmCtx:
     def __init__(self, curve: CurveParams):
         self.curve = curve
         self.ops: CurveOps = curve_ops(curve)
-        self._msm_fn_cache: dict[int, callable] = {}
-        self._max_count = jax.jit(self._max_count_impl)
+        self._msm_fn_cache: dict[tuple, callable] = {}
+        self._pallas_broken = False
 
-    def _max_count_impl(self, digits):
-        """Max population over all non-zero buckets (by |digit|) of all
-        windows.  digits: [nw, N] signed int32."""
-        sorted_d = jnp.sort(jnp.abs(digits), axis=1)
-        # pos[:, k] = first index with |digit| >= k+1, k = 0..NUM_BUCKETS;
-        # diff along k gives the population of buckets 1..NUM_BUCKETS.
-        edges = jnp.arange(1, NUM_BUCKETS + 2, dtype=jnp.int32)
-        pos = jax.vmap(lambda row: jnp.searchsorted(row, edges, side="left"))(
-            sorted_d
-        )
-        return jnp.max(jnp.diff(pos, axis=1))
-
-    def _msm_fn(self, m: int):
-        """One closed jit per bucket capacity m (shapes key the rest)."""
-        if m in self._msm_fn_cache:
-            return self._msm_fn_cache[m]
-        ops = self.ops
-        # fused Pallas inner loop on real TPU; XLA-composed elsewhere
-        # (pallas interpret mode is far slower than XLA on CPU)
-        use_pallas = (
-            os.environ.get("AP_PALLAS", "1") == "1"
+    def _use_pallas(self) -> bool:
+        # fused Pallas adds on real TPU; XLA-composed elsewhere (pallas
+        # interpret mode is far slower than XLA on CPU).  After a Mosaic /
+        # libtpu compile failure the ctx permanently falls back to XLA —
+        # kernel bugs must degrade throughput, never liveness (round-2
+        # driver lesson).
+        return (
+            not self._pallas_broken
+            and os.environ.get("AP_PALLAS", "1") == "1"
             and jax.default_backend() == "tpu"
         )
 
+    def _msm_fn(self, n: int, c: int, use_pallas: bool):
+        """One closed jit per (N, c, backend path) — static shapes only."""
+        key = (n, c, use_pallas)
+        if key in self._msm_fn_cache:
+            return self._msm_fn_cache[key]
+        ops = self.ops
+        k_block = int(os.environ.get("AP_MSM_K", "16"))
+
         def fn(points_pad, digits):
-            if use_pallas:
-                buckets = bucket_accumulate_pallas(ops, points_pad, digits, m)
-            else:
-                buckets = bucket_accumulate(ops, points_pad, digits, m)
-            return suffix_window_sums(ops, buckets)
+            return window_sums_scan(
+                ops, points_pad, digits, c, k_block, use_pallas
+            )
 
         jfn = jax.jit(fn)
-        self._msm_fn_cache[m] = jfn
+        self._msm_fn_cache[key] = jfn
         return jfn
 
-    def _host_fold(self, window_sums) -> tuple | None:
+    def _run_msm_fn(self, n: int, c: int, points_pad, digits):
+        """Invoke the jitted pipeline, falling back Pallas -> XLA on any
+        compile/lowering failure (jit compiles at first call, so the probe
+        and the real call are the same call)."""
+        if self._use_pallas():
+            try:
+                return self._msm_fn(n, c, True)(points_pad, digits)
+            except Exception as e:  # Mosaic / libtpu lowering failures
+                import sys
+
+                print(
+                    "algoplonk_tpu: Pallas MSM kernel failed; falling back "
+                    f"to the XLA path ({type(e).__name__}: {str(e)[:200]})",
+                    file=sys.stderr,
+                )
+                self._pallas_broken = True
+        return self._msm_fn(n, c, False)(points_pad, digits)
+
+    def _host_fold(self, window_sums, c: int = WINDOW_BITS) -> tuple | None:
         """[nw, 3, L] Montgomery projective window sums -> host affine int
         tuple (or None).  The cross-window Horner ladder is ~250 sequential
         width-1 point ops — host bigint EC does it in ~2 ms where the device
@@ -383,45 +508,99 @@ class MsmCtx:
         for w in range(nw - 1, -1, -1):
             X, Y, Z = coords[3 * w], coords[3 * w + 1], coords[3 * w + 2]
             if acc is not None:
-                for _ in range(WINDOW_BITS):
+                for _ in range(c):
                     acc = hfp.ec_double(F, acc)
             if Z != 0:
                 zi = pow(Z, -1, p)
                 acc = hfp.ec_add(F, acc, (X * zi % p, Y * zi % p))
         return acc
 
+    def _points_to_host(self, points_affine) -> list:
+        from ..fields import limbs as limbs_mod
+
+        fp = self.curve.fp
+        arr = np.asarray(points_affine)
+        n = arr.shape[0]
+        coords = limbs_mod.mont_limbs_to_ints(arr.reshape(2 * n, self.ops.L), fp)
+        out = []
+        for i in range(n):
+            x, y = coords[2 * i], coords[2 * i + 1]
+            out.append(None if x == 0 and y == 0 else (x, y))
+        return out
+
+    def _scalars_to_host(self, scalars) -> list:
+        """Montgomery [N, L] Fr device limbs -> canonical python ints."""
+        from ..fields import limbs as limbs_mod
+        from .field import field_ops
+
+        fr = field_ops(self.curve.fr)  # NOT ops.f — that's Fp
+        return limbs_mod.limbs_to_ints(
+            np.asarray(fr.from_mont(jnp.asarray(scalars)))
+        )
+
     # ------------------------------------------------------------------ API
 
-    def msm_to_affine_int(self, points_affine, scalars):
+    def msm_to_affine_int(self, points_affine, scalars, kind: str = "auto",
+                          window_bits: int | None = None):
         """MSM over G1 -> host affine int tuple (or None).
 
         points_affine: [N, 2, L] device array (Montgomery affine limbs).
-        scalars: sequence of python ints (canonical) or [nw, N] digit array.
+        scalars, by ``kind``:
+          'ints'   — sequence of canonical python ints;
+          'mont'   — [N, L] Montgomery limb array (device-resident —
+                     the prover's path, ops/kzg.py and plonk/prove.py);
+          'digits' — [nw, N] signed window digit array;
+          'auto'   — ints if a python sequence, digits if a 2D array whose
+                     leading dim matches the window count, else mont.
 
-        Bucket accumulation + per-window suffix sums run as one closed jit;
-        the final cross-window ladder folds on host (see _host_fold).
+        Below HOST_MSM_MAX points the MSM runs on host bigints (no XLA
+        compile); above, the static-shape device pipeline runs as one
+        closed jit and only the final cross-window ladder folds on host.
         """
         n = points_affine.shape[0]
-        if isinstance(scalars, (np.ndarray, jnp.ndarray)) and scalars.ndim == 2:
-            digits = jnp.asarray(scalars)
-        else:
-            digits = jnp.asarray(scalar_digits(scalars))
-        assert digits.shape[1] == n
+        if kind == "auto":
+            if isinstance(scalars, (list, tuple)):
+                kind = "ints"
+            elif scalars.ndim == 2 and scalars.shape == (
+                num_windows(window_bits or WINDOW_BITS), n
+            ):
+                kind = "digits"
+            else:
+                kind = "mont"
 
-        max_count = int(self._max_count(digits))
-        if max_count == 0:
-            return None
-        m = _round_bucket_capacity(max_count)
+        if n <= HOST_MSM_MAX and kind != "digits":
+            ints = (
+                [int(s) for s in scalars] if kind == "ints"
+                else self._scalars_to_host(scalars)
+            )
+            return host_msm(self.curve, self._points_to_host(points_affine), ints)
+
+        # precomputed digit arrays default to full width (c = WINDOW_BITS)
+        c = window_bits or (
+            WINDOW_BITS if kind == "digits" else pick_window_bits(n)
+        )
+        if kind == "ints":
+            digits = jnp.asarray(scalar_digits(scalars, c=c))
+        elif kind == "mont":
+            from .field import field_ops
+
+            digits = digits_from_mont_limbs(
+                field_ops(self.curve.fr), jnp.asarray(scalars), c=c
+            )
+        else:
+            digits = jnp.asarray(scalars)
+        assert digits.shape == (num_windows(c), n), (digits.shape, c, n)
 
         inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
         points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
-        window_sums = self._msm_fn(m)(points_pad, digits)
-        return self._host_fold(window_sums)
+        window_sums = self._run_msm_fn(n, c, points_pad, digits)
+        return self._host_fold(window_sums, c)
 
-    def msm(self, points_affine, scalars) -> jnp.ndarray:
+    def msm(self, points_affine, scalars, kind: str = "auto",
+            window_bits: int | None = None) -> jnp.ndarray:
         """MSM over G1: returns projective [3, L] (device).  Thin wrapper
         over msm_to_affine_int for callers that want a device value."""
-        aff = self.msm_to_affine_int(points_affine, scalars)
+        aff = self.msm_to_affine_int(points_affine, scalars, kind, window_bits)
         return self.ops.affine_to_jac(
             jnp.asarray(self.ops.encode_affine([aff]))
         )[0]

@@ -20,17 +20,18 @@ import jax.numpy as jnp
 
 from ..fields.params import CurveParams
 from ..ops.curve import curve_ops
-from ..ops.msm import bucket_accumulate, suffix_and_fold
+from ..ops.msm import fold_windows, window_sums_scan
 
 
-def _local_msm(curve: CurveParams, points_local, digits_local, m: int):
-    """Full Pippenger on the local shard with static bucket capacity m.
-    points_local: [Nl, 2, L]; digits_local: [nw, Nl] -> projective [3, L]."""
+def _local_msm(curve: CurveParams, points_local, digits_local):
+    """Full prefix-scan MSM on the local shard (static shapes — see
+    ops/msm.py window_sums_scan).  points_local: [Nl, 2, L];
+    digits_local: [nw, Nl] -> projective [3, L]."""
     ops = curve_ops(curve)
     inf_row = jnp.zeros((1, 2, ops.L), jnp.int32)
     points_pad = jnp.concatenate([points_local, inf_row], axis=0)
-    buckets = bucket_accumulate(ops, points_pad, digits_local, m)
-    return suffix_and_fold(ops, buckets)
+    ws = window_sums_scan(ops, points_pad, digits_local)
+    return fold_windows(ops, ws)
 
 
 def sharded_msm_fn(curve: CurveParams, mesh: Mesh, axis: str, n: int, nw: int):
@@ -40,10 +41,9 @@ def sharded_msm_fn(curve: CurveParams, mesh: Mesh, axis: str, n: int, nw: int):
     ndev = mesh.shape[axis]
     nl = n // ndev
     assert nl * ndev == n, "n must divide the mesh axis"
-    m = nl  # conservative static bucket capacity; exact for any distribution
 
     def step(points_local, digits_local):
-        partial = _local_msm(curve, points_local, digits_local, m)
+        partial = _local_msm(curve, points_local, digits_local)
         gathered = jax.lax.all_gather(partial, axis)  # [D, 3, L]
 
         def fold_body(i, acc):

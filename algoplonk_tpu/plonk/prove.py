@@ -121,12 +121,10 @@ class Prover:
 
     def _commit(self, coeffs) -> tuple:
         """KZG commit (monomial basis) -> host affine int point.
-        Scalar digits are extracted on device from the Montgomery limbs."""
-        from ..ops.msm import digits_from_mont_limbs
-
-        digits = digits_from_mont_limbs(self.f, coeffs)
+        Scalar kind 'mont': digits extract on device above the host-MSM
+        threshold."""
         return self.msm.msm_to_affine_int(
-            self.pk.srs_g1[: coeffs.shape[0]], digits
+            self.pk.srs_g1[: coeffs.shape[0]], coeffs, kind="mont"
         )
 
     def _const(self, v: int):

@@ -31,13 +31,12 @@ from .keys import ProvingKey, VerifyingKey
 
 def _commit(curve: CurveParams, srs_dev, coeffs_limbs) -> tuple:
     """KZG commit to Montgomery-limb coefficients -> host affine int tuple.
-    Digits are extracted on device (no host int round trip)."""
-    from ..ops.msm import digits_from_mont_limbs
-
+    Scalar kind 'mont': digits extract on device above the host-MSM
+    threshold (no host int round trip)."""
     ctx = msm_ctx(curve)
-    f = field_ops(curve.fr)
-    digits = digits_from_mont_limbs(f, coeffs_limbs)
-    return ctx.msm_to_affine_int(srs_dev[: coeffs_limbs.shape[0]], digits)
+    return ctx.msm_to_affine_int(
+        srs_dev[: coeffs_limbs.shape[0]], coeffs_limbs, kind="mont"
+    )
 
 
 def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, VerifyingKey]:

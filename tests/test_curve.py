@@ -84,16 +84,6 @@ def test_aff_add_aff(rng, curve):
     assert got == want
 
 
-def test_bucket_capacity_rounding():
-    from algoplonk_tpu.ops.msm import _round_bucket_capacity as rc
-
-    assert [rc(i) for i in (1, 2, 3, 4, 5, 6, 7, 8)] == [1, 2, 3, 4, 6, 6, 8, 8]
-    assert rc(600) == 768 and rc(769) == 1024 and rc(96) == 96
-    for v in range(1, 2000):
-        m = rc(v)
-        assert m >= v and m < 2 * v or v <= 2
-
-
 @pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
 def test_scalar_mul(rng, curve):
     ops = curve_ops(curve)

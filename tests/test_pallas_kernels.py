@@ -3,7 +3,7 @@
 On CPU the kernels run in pallas interpret mode (the factories interpret
 whenever the backend is not TPU), so these tests validate the kernel bodies
 everywhere; on real TPU the same code runs natively as the MSM inner loop
-(ops/msm.py bucket_accumulate_pallas)."""
+(ops/msm.py window_sums_scan with use_pallas=True)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -56,30 +56,53 @@ def test_pallas_mixed_add_complete(rng):
     assert got == want
 
 
-def test_bucket_accumulate_pallas_matches_xla(rng):
-    """The full pallas bucket loop (interpret mode) == the XLA fallback."""
+def test_pallas_jac_add_complete(rng):
+    """The fused RCB projective add handles generic, doubling, inverse and
+    infinity lanes — the exact mix the scan pipeline feeds it."""
+    from algoplonk_tpu.ops.curve_pallas import pallas_jac_add
+
     curve = BN254
     ops = curve_ops(curve)
-    n, nw, m = 32, 2, 8
+    F = hfp.GF(curve.fp.modulus)
+    P = sample_points(rng, curve, 8)
+    Q = sample_points(rng, curve, 8)
+    P[0] = None
+    Q[1] = None
+    Q[2] = P[2]                       # doubling
+    Q[3] = hfp.ec_neg(F, P[3])        # cancellation
+
+    pT = jnp.transpose(ops.affine_to_jac(ops.encode_affine(P)), (1, 2, 0))
+    qT = jnp.transpose(ops.affine_to_jac(ops.encode_affine(Q)), (1, 2, 0))
+    out = pallas_jac_add(curve, tile=8)(pT, qT)
+    got = ops.decode_affine(ops.to_affine(jnp.transpose(out, (2, 0, 1))))
+    want = [hfp.ec_add(F, p, q) for p, q in zip(P, Q)]
+    assert got == want
+
+
+def test_window_sums_scan_pallas_matches_xla(rng):
+    """The full prefix-scan MSM with pallas adders (interpret mode) == the
+    XLA adder path."""
+    import algoplonk_tpu.ops.curve_pallas as cp
+
+    curve = BN254
+    ops = curve_ops(curve)
+    n, k = 10, 4
     pts = sample_points(rng, curve, n)
     points_pad = jnp.concatenate(
         [ops.encode_affine(pts), jnp.zeros((1, 2, ops.L), jnp.int32)]
     )
-    digits = jnp.asarray(
-        np.asarray(
-            [[rng.randrange(256) for _ in range(n)] for _ in range(nw)],
-            dtype=np.int32,
-        )
-    )
-    mc = int(msm_mod.msm_ctx(curve)._max_count(digits))
-    m = max(m, mc)
-    want = np.asarray(
-        ops.to_affine(msm_mod.bucket_accumulate(ops, points_pad, digits, m))
-    )
-    got = np.asarray(
-        ops.to_affine(
-            msm_mod.bucket_accumulate_pallas(ops, points_pad, digits, m,
-                                             tile=64)
-        )
-    )
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    digits = jnp.asarray(msm_mod.scalar_digits(scalars))
+    # shrink the pallas lane tile so interpret mode stays fast
+    old_tile = msm_mod._TILE
+    msm_mod._TILE = 64
+    try:
+        got = np.asarray(ops.to_affine(msm_mod.window_sums_scan(
+            ops, points_pad, digits, k_block=k, use_pallas=True
+        )))
+    finally:
+        msm_mod._TILE = old_tile
+    want = np.asarray(ops.to_affine(msm_mod.window_sums_scan(
+        ops, points_pad, digits, k_block=k, use_pallas=False
+    )))
     assert (got == want).all()
