@@ -240,6 +240,15 @@ class FieldVals:
     def add(self, a, b):
         return self.cond_sub_p(self.ks_carry(a + b))
 
+    def add_lazy(self, a, b):
+        """Non-reducing add: value a + b (NOT brought below p), limbs
+        re-bounded to < 2^12 + 3 by one relaxation pass.  Safe wherever the
+        consumer is a multiplication (REDC tolerates values far above p —
+        ab < R*p needs only a, b < 2^259) or another bounded lazy add; the
+        full Kogge-Stone carry + conditional subtract of the strict add is
+        ~20x the vector work of the single relax pass."""
+        return self.relax(a + b, 1)
+
     def sub(self, a, b):
         diff, borrow = self.sub_borrow(a, b)
         plus_p = self.ks_carry(diff + self.p)

@@ -184,9 +184,14 @@ class _Adders:
         self.ops = ops
         self.use_pallas = use_pallas
         if use_pallas:
-            from .curve_pallas import pallas_jac_add, pallas_mixed_add
+            from .curve_pallas import (
+                pallas_jac_add,
+                pallas_mixed_add,
+                pallas_mixed_add_signed,
+            )
 
             self._mixed = pallas_mixed_add(ops.curve, _TILE)
+            self._mixed_signed = pallas_mixed_add_signed(ops.curve, _TILE)
             self._jac = pallas_jac_add(ops.curve, _TILE)
 
     def inf(self, w: int):
@@ -214,6 +219,19 @@ class _Adders:
         )
         return jnp.transpose(out, (1, 2, 0))
 
+    def gather_mixed(self, acc_lm, points_pad, packed):
+        """acc [3, L, W] (+) signed-gathered points table[packed] (packed
+        member indices, sign bit SIGN_SHIFT).
+
+        Pallas: raw row gather (fast) + transpose, sign applied in VMEM by
+        the kernel.  XLA: sign applied batch-major (slow, fallback only)."""
+        rows = packed & _ROW_MASK
+        if self.use_pallas:
+            pts = jnp.transpose(points_pad[rows], (1, 2, 0))  # [2, L, W]
+            neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)[None]
+            return self._mixed_signed(acc_lm, pts, neg)
+        return self.mixed(acc_lm, _gather_signed(self.ops, points_pad, packed))
+
 
 def _pad_lanes(n: int) -> int:
     return -(-n // _TILE) * _TILE
@@ -234,16 +252,26 @@ def window_sums_scan(
     nw = digits.shape[0]
     D = 1 << (c - 1)
     K = max(1, min(k_block, n))
-    n_pad = -(-n // K) * K
+    # two-level phase 2 once there are enough blocks for the full-width
+    # Kogge-Stone scan to dominate: super-blocks of S blocks
+    S = 16
+    two_level = (-(-n // K)) >= 16 * S
+    blk_quant = K * S if two_level else K
+    n_pad = -(-n // blk_quant) * blk_quant
     nblk = n_pad // K
+    nsb = nblk // S if two_level else 0
     add = _Adders(ops, use_pallas)
 
-    # ---- sort each window by |digit|; pad with (mag > D, index n) entries
+    # ---- sort each window by |digit|; pad with (mag > D, index n) entries.
+    # lax.sort carries the packed (sign | index) payload through the sort —
+    # argsort + take_along_axis costs 2 x 32 ms in XLA generic gathers for
+    # what the sort's variadic form does for free.
     mag = jnp.abs(digits)
-    order = jnp.argsort(mag, axis=1)
-    smag = jnp.take_along_axis(mag, order, axis=1)
-    sign = (jnp.take_along_axis(digits, order, axis=1) < 0).astype(jnp.int32)
-    packed = order | (sign << SIGN_SHIFT)
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None], (nw, n)
+    )
+    payload = rows | ((digits < 0).astype(jnp.int32) << SIGN_SHIFT)
+    smag, packed = jax.lax.sort((mag, payload), dimension=1, num_keys=1)
     if n_pad > n:
         smag = jnp.concatenate(
             [smag, jnp.full((nw, n_pad - n), D + 1, jnp.int32)], axis=1
@@ -261,51 +289,123 @@ def window_sums_scan(
     def p1_body(j, acc):
         idx = packed_blk[j].reshape(w1)
         idx = jnp.concatenate([idx, jnp.full((w1p - w1,), n, jnp.int32)])
-        return add.mixed(acc, _gather_signed(ops, points_pad, idx))
+        return add.gather_mixed(acc, points_pad, idx)
 
     block_sums = jax.lax.fori_loop(0, K, p1_body, add.inf(w1p))
 
-    # ---- phase 2: Kogge-Stone inclusive scan over block sums (per window)
-    # lane layout w*nblk + b; a shift by s must not cross window boundaries.
-    # One traced body (dynamic shift s = 2^i) — compile cost is per distinct
-    # body on this host, so the log2(nblk) steps share a fori_loop.
-    b_idx = jnp.asarray(np.concatenate(
-        [np.tile(np.arange(nblk, dtype=np.int32), nw),
-         np.full(w1p - w1, -1, np.int32)]
-    ))
-    inf_w1p = add.inf(w1p)
-
-    def p2_body(i, scan):
-        sh = 1 << i
-        shifted = jnp.roll(scan, sh, axis=2)
-        shifted = jnp.where((b_idx < sh)[None, None, :], inf_w1p, shifted)
-        return add.jac(scan, shifted)
-
-    n_steps = max(0, (nblk - 1).bit_length())
-    scan = jax.lax.fori_loop(0, n_steps, p2_body, block_sums)
-
-    # ---- phase 3: P[e_d] for d = 0..D per window
+    # ---- phase 3 target indices (shared by both phase-2 variants)
     dvals = jnp.arange(0, D + 1, dtype=jnp.int32)
     e = jax.vmap(
         lambda row: jnp.searchsorted(row, dvals, side="right")
     )(smag).astype(jnp.int32) - 1                  # [nw, D+1], in [-1, n-1]
     eb = jnp.where(e >= 0, e // K, -1)
     r = jnp.where(e >= 0, e - eb * K, -1)
-
-    # preceding block's scan value (batch-major gather on rows)
-    scan_bm = jnp.transpose(scan, (2, 0, 1))       # [W1p, 3, L]
+    prev = eb - 1                                  # last block fully before e_d
     w_ids = jnp.broadcast_to(
         jnp.arange(nw, dtype=jnp.int32)[:, None], (nw, D + 1)
     )
-    prev = eb - 1
-    lane = w_ids * nblk + jnp.clip(prev, 0, nblk - 1)
-    base_bm = scan_bm[lane.reshape(-1)]            # [nw*(D+1), 3, L]
-    base_bm = jnp.where(
-        (prev < 0).reshape(-1)[:, None, None],
-        ops.jac_infinity((nw * (D + 1),)),
-        base_bm,
-    )
+    w2 = nw * (D + 1)
+    w2p = _pad_lanes(w2)
 
+    def gather_rows_lm(bm_with_inf, lane, invalid):
+        """Rows of a batch-major [R+1, 3, L] table (last row = identity) at
+        [nw, D+1] lane ids -> limbs-major [3, L, W2p] (invalid -> identity,
+        as is the W2p padding)."""
+        idx = jnp.where(invalid, bm_with_inf.shape[0] - 1, lane).reshape(w2)
+        idx = jnp.concatenate(
+            [idx,
+             jnp.full((w2p - w2,), bm_with_inf.shape[0] - 1, jnp.int32)]
+        )
+        return jnp.transpose(bm_with_inf[idx], (1, 2, 0))
+
+    inf_row_bm = ops.jac_infinity((1,))
+
+    if not two_level:
+        # ---- phase 2 (single level): Kogge-Stone inclusive scan over block
+        # sums per window.  lane layout w*nblk + b; a shift by s must not
+        # cross window boundaries.  One traced body (dynamic shift s = 2^i).
+        b_idx = jnp.asarray(np.concatenate(
+            [np.tile(np.arange(nblk, dtype=np.int32), nw),
+             np.full(w1p - w1, -1, np.int32)]
+        ))
+        inf_w1p = add.inf(w1p)
+
+        def p2_body(i, scan):
+            sh = 1 << i
+            shifted = jnp.roll(scan, sh, axis=2)
+            shifted = jnp.where((b_idx < sh)[None, None, :], inf_w1p, shifted)
+            return add.jac(scan, shifted)
+
+        n_steps = max(0, (nblk - 1).bit_length())
+        scan = jax.lax.fori_loop(0, n_steps, p2_body, block_sums)
+
+        scan_bm = jnp.concatenate(
+            [jnp.transpose(scan, (2, 0, 1)), inf_row_bm]
+        )                                          # [W1p+1, 3, L]
+        lane = w_ids * nblk + jnp.clip(prev, 0, nblk - 1)
+        base_lm = gather_rows_lm(scan_bm, lane, prev < 0)
+    else:
+        # ---- phase 2 (two level): the full-width KS scan costs
+        # log2(nblk) complete adds over nw*nblk lanes; decomposing into
+        # super-blocks of S cuts that to S + log2(nsb) steps at nw*nsb
+        # lanes plus an S-step masked rescan at phase-3 width.
+        # 2a: reduce each super-block of S block sums (narrow: [S] major)
+        bs5 = block_sums[:, :, :w1].reshape(3, ops.L, nw, nsb, S)
+        wsb = nw * nsb
+        wsbp = _pad_lanes(wsb)
+        # pad lanes once, outside the loop (zeros = junk points that never
+        # feed a consulted lane — all gathers below clip to wsb)
+        bs_steps = jnp.pad(
+            jnp.moveaxis(bs5, 4, 0).reshape(S, 3, ops.L, wsb),
+            ((0, 0), (0, 0), (0, 0), (0, wsbp - wsb)),
+        )
+
+        def p2a_body(j, acc):
+            return add.jac(acc, bs_steps[j])
+
+        super_sums = jax.lax.fori_loop(0, S, p2a_body, add.inf(wsbp))
+
+        # 2b: KS scan over super sums per window
+        sb_idx = jnp.asarray(np.concatenate(
+            [np.tile(np.arange(nsb, dtype=np.int32), nw),
+             np.full(wsbp - wsb, -1, np.int32)]
+        ))
+        inf_wsbp = add.inf(wsbp)
+
+        def p2b_body(i, scan):
+            sh = 1 << i
+            shifted = jnp.roll(scan, sh, axis=2)
+            shifted = jnp.where(
+                (sb_idx < sh)[None, None, :], inf_wsbp, shifted
+            )
+            return add.jac(scan, shifted)
+
+        sb_steps = max(0, (nsb - 1).bit_length())
+        super_scan = jax.lax.fori_loop(0, sb_steps, p2b_body, super_sums)
+
+        # base = super_scan[esb_prev - 1] (+) block_sums[esb_prev*S .. prev]
+        esb_prev = jnp.where(prev >= 0, prev // S, -1)
+        r2 = jnp.where(prev >= 0, prev - esb_prev * S, -1)
+        ss_bm = jnp.concatenate(
+            [jnp.transpose(super_scan, (2, 0, 1))[:wsb], inf_row_bm]
+        )
+        lane_ss = w_ids * nsb + jnp.clip(esb_prev - 1, 0, nsb - 1)
+        base_lm = gather_rows_lm(ss_bm, lane_ss, esb_prev - 1 < 0)
+
+        bs_bm = jnp.concatenate(
+            [jnp.transpose(block_sums, (2, 0, 1))[:w1], inf_row_bm]
+        )
+        lane_b0 = w_ids * nblk + jnp.clip(esb_prev * S, 0, nblk - 1)
+
+        def p2c_body(j, acc):
+            invalid = (j > r2) | (prev < 0)
+            term = gather_rows_lm(bs_bm, lane_b0 + j, invalid)
+            return add.jac(acc, term)
+
+        rescan = jax.lax.fori_loop(0, S, p2c_body, add.inf(w2p))
+        base_lm = add.jac(base_lm, rescan)
+
+    # ---- phase 3: in-block point rescan up to e_d, then P[e_d]
     # members of the block containing each e_d: [K, nw, D+1]
     blk_members = jnp.take_along_axis(
         jnp.transpose(packed_blk, (1, 2, 0)),      # [nw, nblk, K]
@@ -314,43 +414,40 @@ def window_sums_scan(
     )                                              # [nw, D+1, K]
     blk_members = jnp.transpose(blk_members, (2, 0, 1))
 
-    w2 = nw * (D + 1)
-    w2p = _pad_lanes(w2)
-
     def p3_body(j, acc):
         live = (j <= r) & (e >= 0)                 # [nw, D+1]
         idx = jnp.where(live, blk_members[j], n).reshape(w2)
         idx = jnp.concatenate([idx, jnp.full((w2p - w2,), n, jnp.int32)])
-        return add.mixed(acc, _gather_signed(ops, points_pad, idx))
+        return add.gather_mixed(acc, points_pad, idx)
 
     in_block = jax.lax.fori_loop(0, K, p3_body, add.inf(w2p))
-
-    base_lm = jnp.transpose(base_bm, (1, 2, 0))    # [3, L, W2]
-    if w2p > w2:
-        base_lm = jnp.concatenate([base_lm, add.inf(w2p - w2)], axis=2)
     p_e = add.jac(base_lm, in_block)               # [3, L, W2p]
-    p_e = jnp.transpose(p_e[:, :, :w2], (2, 0, 1)).reshape(nw, D + 1, 3, ops.L)
 
-    # ---- phase 4: S_w = D * P[e_D] - sum_{d<D} P[e_d]
-    top = p_e[:, D]                                # [nw, 3, L]
-
-    # tree-sum along D at constant shape: new[j] = old[j] + old[j + D/2^i];
-    # lanes j < h stay exact (their sources stay < 2h), lanes >= h become
-    # wrap-around junk that is never consulted for lane 0.  One traced body.
+    # ---- phase 4: S_w = D * P[e_D] - sum_{d<D} P[e_d], limbs-major.
+    # Tree-sum along d at constant shape: new[j] = old[j] + old[j + D/2^i];
+    # only lane d = 0 of each window is consulted at the end, and its
+    # sources stay inside the window's (D+1)-lane block.  One traced body.
     def p4_body(i, acc):
         h = D >> (i + 1)
-        return ops.jac_add(acc, jnp.roll(acc, -h, axis=1))
+        return add.jac(acc, jnp.roll(acc, -h, axis=2))
 
-    acc = jax.lax.fori_loop(
-        0, (D - 1).bit_length(), p4_body, p_e[:, :D]
+    tree = jax.lax.fori_loop(0, (D - 1).bit_length(), p4_body, p_e)
+    stride = D + 1
+    prefix_sum = jnp.transpose(
+        tree[:, :, 0 : nw * stride : stride], (2, 0, 1)
+    )                                              # [nw, 3, L]
+    top = jnp.transpose(
+        p_e[:, :, D : nw * stride : stride], (2, 0, 1)
     )
-    prefix_sum = acc[:, 0]
 
     def dbl(_, a):
         return ops.jac_double(a)
 
     d_top = jax.lax.fori_loop(0, c - 1, dbl, top)  # D * P[e_D], D = 2^(c-1)
-    neg_y = f.sub(jnp.zeros_like(prefix_sum[:, 1]), prefix_sum[:, 1])
+    # pallas kernel outputs may be lazy (< 2p); the strict sub below needs
+    # a canonical subtrahend — f.add with zero reduces once
+    y_canon = f.add(prefix_sum[:, 1], jnp.zeros_like(prefix_sum[:, 1]))
+    neg_y = f.sub(jnp.zeros_like(y_canon), y_canon)
     neg_sum = jnp.concatenate(
         [prefix_sum[:, 0:1], neg_y[:, None], prefix_sum[:, 2:3]], axis=1
     )

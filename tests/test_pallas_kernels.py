@@ -92,17 +92,17 @@ def test_window_sums_scan_pallas_matches_xla(rng):
         [ops.encode_affine(pts), jnp.zeros((1, 2, ops.L), jnp.int32)]
     )
     scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
-    digits = jnp.asarray(msm_mod.scalar_digits(scalars))
+    digits = jnp.asarray(msm_mod.scalar_digits(scalars, c=4))
     # shrink the pallas lane tile so interpret mode stays fast
     old_tile = msm_mod._TILE
     msm_mod._TILE = 64
     try:
         got = np.asarray(ops.to_affine(msm_mod.window_sums_scan(
-            ops, points_pad, digits, k_block=k, use_pallas=True
+            ops, points_pad, digits, c=4, k_block=k, use_pallas=True
         )))
     finally:
         msm_mod._TILE = old_tile
     want = np.asarray(ops.to_affine(msm_mod.window_sums_scan(
-        ops, points_pad, digits, k_block=k, use_pallas=False
+        ops, points_pad, digits, c=4, k_block=k, use_pallas=False
     )))
     assert (got == want).all()
