@@ -118,10 +118,11 @@ class FieldOps:
 
         Three formulations, chosen per backend (measured, see module doc):
         * conv: ONE depthwise int32 convolution — the column sums are exactly
-          the polynomial product of the limb sequences.  Compiles ~7x faster
-          than the gather form on the CPU backend (0.09 s vs 0.66 s per mul),
-          which is what keeps the virtual-mesh dry run and the test suite
-          within budget; comparable runtime.
+          the polynomial product of the limb sequences.  An experimental A/B
+          mode (enable with AP_FIELD_COLS=conv): it compiles ~7x faster than
+          the gather form on the CPU backend (0.09 s vs 0.66 s per mul), but
+          XLA materializes grouped convs densely at large batch (OOM — see
+          __init__), so no default uses it.
         * gather: one outer product + one static anti-diagonal gather + sum
           (3 ops).  On TPU the gather explodes compile time (minutes) and
           halves runtime throughput.

@@ -688,9 +688,22 @@ class MsmCtx:
             digits = jnp.asarray(scalars)
         assert digits.shape == (num_windows(c), n), (digits.shape, c, n)
 
-        inf_row = jnp.zeros((1, 2, self.ops.L), jnp.int32)
+        # bucket N so nearby sizes share one compiled pipeline: the prover
+        # commits to polynomials of n, n+1, n+2, n+3 coefficients — without
+        # rounding each would pay its own multi-minute jit through the
+        # compile tunnel.  Infinity-point rows with zero digits are exact
+        # no-ops for the scan (they sort to the zero-run, which the
+        # telescoped sum cancels).
+        step = 1 << max(8, n.bit_length() - 5)
+        n_bucket = -(-n // step) * step
+        pad = n_bucket - n
+        inf_row = jnp.zeros((pad + 1, 2, self.ops.L), jnp.int32)
         points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
-        window_sums = self._run_msm_fn(n, c, points_pad, digits)
+        if pad:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((digits.shape[0], pad), jnp.int32)], axis=1
+            )
+        window_sums = self._run_msm_fn(n_bucket, c, points_pad, digits)
         return self._host_fold(window_sums, c)
 
     def msm(self, points_affine, scalars, kind: str = "auto",

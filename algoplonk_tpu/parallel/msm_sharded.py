@@ -20,30 +20,33 @@ import jax.numpy as jnp
 
 from ..fields.params import CurveParams
 from ..ops.curve import curve_ops
-from ..ops.msm import fold_windows, window_sums_scan
+from ..ops.msm import WINDOW_BITS, fold_windows, window_sums_scan
 
 
-def _local_msm(curve: CurveParams, points_local, digits_local):
+def _local_msm(curve: CurveParams, points_local, digits_local,
+               c: int = WINDOW_BITS):
     """Full prefix-scan MSM on the local shard (static shapes — see
     ops/msm.py window_sums_scan).  points_local: [Nl, 2, L];
-    digits_local: [nw, Nl] -> projective [3, L]."""
+    digits_local: [nw, Nl] (window size c) -> projective [3, L]."""
     ops = curve_ops(curve)
     inf_row = jnp.zeros((1, 2, ops.L), jnp.int32)
     points_pad = jnp.concatenate([points_local, inf_row], axis=0)
-    ws = window_sums_scan(ops, points_pad, digits_local)
-    return fold_windows(ops, ws)
+    ws = window_sums_scan(ops, points_pad, digits_local, c)
+    return fold_windows(ops, ws, c)
 
 
-def sharded_msm_fn(curve: CurveParams, mesh: Mesh, axis: str, n: int, nw: int):
+def sharded_msm_fn(curve: CurveParams, mesh: Mesh, axis: str, n: int, nw: int,
+                   c: int = WINDOW_BITS):
     """Build a jitted sharded MSM: (points [n,2,L] sharded on dim 0,
-    digits [nw, n] sharded on dim 1) -> projective [3, L] replicated."""
+    digits [nw, n] (window size c) sharded on dim 1) -> projective [3, L]
+    replicated."""
     ops = curve_ops(curve)
     ndev = mesh.shape[axis]
     nl = n // ndev
     assert nl * ndev == n, "n must divide the mesh axis"
 
     def step(points_local, digits_local):
-        partial = _local_msm(curve, points_local, digits_local)
+        partial = _local_msm(curve, points_local, digits_local, c)
         gathered = jax.lax.all_gather(partial, axis)  # [D, 3, L]
 
         def fold_body(i, acc):

@@ -26,13 +26,20 @@ from ..ops.field import field_ops
 from ..ops.ntt import ntt_plan
 
 
-def sharded_ntt_fn(curve_name: str, mesh: Mesh, axis: str, log_n: int):
-    """Build a jitted sharded NTT of size 2^log_n over the mesh axis.
+def sharded_ntt_fn(curve_name: str, mesh: Mesh, axis: str, log_n: int,
+                   inverse: bool = False, coset_shift: int | None = None):
+    """Build a jitted sharded (i)NTT of size 2^log_n over the mesh axis.
 
     Input/output: [n2, n1, L] limb array sharded on dim 0; input is the
     coefficient vector x laid out as x[j1*n2 + j2] = in[j2, j1]; output is
     evaluations X[k2*n1 + k1] = out[k2, k1] (same natural-order convention).
-    """
+
+    ``inverse``: run the inverse transform (inverse twiddles on both local
+    stages and on the cross factors; the 1/n1 and 1/n2 scalings of the
+    local plans compose to the full 1/n).  ``coset_shift`` g: forward
+    evaluates on the coset gH (coefficients pre-scaled by g^j); inverse
+    interpolates from gH (outputs post-scaled by g^-j).  These are the
+    variants the prover's quotient phase needs (plonk/prove.py round 3)."""
     curve = CURVES[curve_name]
     f = field_ops(curve.fr)
     r = curve.fr.modulus
@@ -46,18 +53,34 @@ def sharded_ntt_fn(curve_name: str, mesh: Mesh, axis: str, log_n: int):
     plan1 = ntt_plan(curve_name, log_n1)
     plan2 = ntt_plan(curve_name, log_n2)
     w = domain_generator(curve_name, log_n)
-    # cross twiddles T[j2, k1] = w^(j2*k1)
-    tw = [[pow(w, j2 * k1, r) for k1 in range(n1)] for j2 in range(n2)]
+    w_eff = pow(w, -1, r) if inverse else w
+    # cross twiddles T[j2, k1] = w_eff^(j2*k1)
+    tw = [[pow(w_eff, j2 * k1, r) for k1 in range(n1)] for j2 in range(n2)]
     tw_flat = limbs_mod.ints_to_mont_limbs(
         [v for row in tw for v in row], curve.fr
     )
     tw_dev = jnp.asarray(tw_flat).reshape(n2, n1, f.L)
 
-    batched_ntt1 = jax.vmap(lambda v: plan1._transform(v, False))
-    batched_ntt2 = jax.vmap(lambda v: plan2._transform(v, False))
+    # coset pre/post scale: index j = j1*n2 + j2 at [j2, j1]
+    cs_dev = None
+    if coset_shift is not None:
+        g = pow(coset_shift, -1, r) if inverse else coset_shift
+        cs = [
+            [pow(g, j1 * n2 + j2, r) for j1 in range(n1)] for j2 in range(n2)
+        ]
+        cs_dev = jnp.asarray(
+            limbs_mod.ints_to_mont_limbs(
+                [v for row in cs for v in row], curve.fr
+            )
+        ).reshape(n2, n1, f.L)
 
-    def step(x_local, tw_local):
+    batched_ntt1 = jax.vmap(lambda v: plan1._transform(v, inverse))
+    batched_ntt2 = jax.vmap(lambda v: plan2._transform(v, inverse))
+
+    def step(x_local, tw_local, cs_local):
         # x_local: [n2/D, n1, L]
+        if cs_local is not None and not inverse:
+            x_local = f.mul(x_local, cs_local)
         y = batched_ntt1(x_local)                   # NTT over j1 per row
         y = f.mul(y, tw_local)                      # cross twiddles
         # transpose [n2, n1] -> [n1, n2]: split columns into D chunks,
@@ -73,18 +96,28 @@ def sharded_ntt_fn(curve_name: str, mesh: Mesh, axis: str, log_n: int):
         z = z.reshape(n1 // d, d, n2 // d, f.L)
         z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=0, tiled=False)
         z = jnp.transpose(z, (2, 0, 1, 3)).reshape(n2 // d, n1, f.L)
+        if cs_local is not None and inverse:
+            z = f.mul(z, cs_local)
         return z
 
-    smapped = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_vma=False,
-    )
+    if cs_dev is None:
+        smapped = jax.shard_map(
+            lambda x, tw: step(x, tw, None),
+            mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis),
+            check_vma=False,
+        )
 
-    def run(x_mat):
-        return smapped(x_mat, tw_dev)
+        def run(x_mat):
+            return smapped(x_mat, tw_dev)
+    else:
+        smapped = jax.shard_map(
+            step,
+            mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False,
+        )
+
+        def run(x_mat):
+            return smapped(x_mat, tw_dev, cs_dev)
 
     return jax.jit(run), (n1, n2)
 

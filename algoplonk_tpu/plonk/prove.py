@@ -77,9 +77,17 @@ class Prover:
     to disable blinding entirely.
     """
 
-    def __init__(self, pk: ProvingKey, ccs: CompiledConstraintSystem, rng=None):
+    def __init__(self, pk: ProvingKey, ccs: CompiledConstraintSystem, rng=None,
+                 mesh=None, mesh_axis: str = "x"):
         self.pk = pk
         self.ccs = ccs
+        # multi-chip: when a jax.sharding.Mesh is provided, every KZG commit
+        # (the prover's dominant cost) runs the sharded MSM over the mesh —
+        # points partitioned across chips, one collective to fold partials
+        # (parallel/msm_sharded.py; SURVEY.md section 2c)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._sharded_msm_cache = {}
         if rng is None:
             import secrets
 
@@ -122,10 +130,51 @@ class Prover:
     def _commit(self, coeffs) -> tuple:
         """KZG commit (monomial basis) -> host affine int point.
         Scalar kind 'mont': digits extract on device above the host-MSM
-        threshold."""
+        threshold.  With a mesh configured, the MSM shards over it."""
+        if self.mesh is not None:
+            return self._commit_sharded(coeffs)
         return self.msm.msm_to_affine_int(
             self.pk.srs_g1[: coeffs.shape[0]], coeffs, kind="mont"
         )
+
+    def _commit_sharded(self, coeffs) -> tuple:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.msm import digits_from_mont_limbs, pick_window_bits
+        from ..parallel.msm_sharded import sharded_msm_fn
+
+        ops = self.msm.ops
+        d = coeffs.shape[0]
+        ndev = self.mesh.shape[self.mesh_axis]
+        # bucket N (shards must divide evenly; nearby commit sizes share
+        # one compiled step — same rationale as MsmCtx.msm_to_affine_int)
+        step = max(256, 1 << max(8, d.bit_length() - 5))
+        step = -(-step // ndev) * ndev
+        n_b = -(-d // step) * step
+        c = pick_window_bits(n_b)
+        digits = digits_from_mont_limbs(self.f, coeffs, c=c)
+        nw = digits.shape[0]
+        if n_b > d:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((nw, n_b - d), jnp.int32)], axis=1
+            )
+        points = self.pk.srs_g1[:d]
+        if n_b > d:
+            points = jnp.concatenate(
+                [points, jnp.zeros((n_b - d, 2, ops.L), jnp.int32)], axis=0
+            )
+        key = (n_b, nw, c)
+        fn = self._sharded_msm_cache.get(key)
+        if fn is None:
+            fn = sharded_msm_fn(
+                self.curve, self.mesh, self.mesh_axis, n_b, nw, c
+            )
+            self._sharded_msm_cache[key] = fn
+        sh_p = NamedSharding(self.mesh, P(self.mesh_axis))
+        sh_d = NamedSharding(self.mesh, P(None, self.mesh_axis))
+        jac = fn(jax.device_put(points, sh_p), jax.device_put(digits, sh_d))
+        return ops.decode_affine(ops.to_affine(jac[None]))[0]
 
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
@@ -168,6 +217,20 @@ class Prover:
     # ----------------------------------------------------------------- prove
 
     def prove(self, witness: Witness) -> Proof:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _prof = _os.environ.get("AP_PROVE_PROFILE", "") == "1"
+        _t = [_time.perf_counter()]
+
+        def _mark(name):
+            if _prof:
+                now = _time.perf_counter()
+                print(f"  prove phase {name}: {now - _t[0]:.2f}s",
+                      file=_sys.stderr, flush=True)
+                _t[0] = now
+
         pk, f, r, n = self.pk, self.f, self.r, self.pk.n
         curve = self.curve
         vk = pk.vk
@@ -192,6 +255,7 @@ class Prover:
         r_com = self._commit(r_c)
         o_com = self._commit(o_c)
 
+        _mark("r1 wires+commits")
         gamma_d, gamma = self.tr.gamma(vk, pub, l_com, r_com, o_com)
         beta_d, beta = self.tr.beta(gamma_d)
 
@@ -225,6 +289,7 @@ class Prover:
         z_c = self._blind(plan.intt(z_ev), 3)
         z_com = self._commit(z_c)
 
+        _mark("r2 grand product")
         alpha_d, alpha = self.tr.alpha(beta_d, bsb_coms, z_com)
 
         # ---- round 3: quotient on the 4n coset
@@ -314,6 +379,7 @@ class Prover:
         h1 = self._commit(h1_c)
         h2 = self._commit(h2_c)
 
+        _mark("r3 quotient")
         zeta_d, zeta = self.tr.zeta(alpha_d, h0, h1, h2)
 
         # ---- round 4: evaluations
@@ -384,6 +450,7 @@ class Prover:
         lin = acc(lin, h0_c, (-zh_z) % r)
         lin = acc(lin, h1_c, (-zh_z) % r * zeta_m % r)
         lin = acc(lin, h2_c, (-zh_z) % r * zeta_m % r * zeta_m % r)
+        _mark("r4 evals+linearization")
         lin_com = self._commit(lin)
 
         # ---- round 5: batched opening at zeta
@@ -404,6 +471,7 @@ class Prover:
         q2_coeffs, _ = polyops.kzg_quotient(f, z_c, self._const(wzeta))
         opening_z_omega = self._commit(q2_coeffs[:mlin])
 
+        _mark("r5 openings")
         return Proof(
             l_com=l_com, r_com=r_com, o_com=o_com,
             h0=h0, h1=h1, h2=h2,

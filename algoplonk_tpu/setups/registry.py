@@ -240,21 +240,29 @@ def _test_only_srs_large(curve: CurveParams, g1_count: int) -> SRS:
     if os.path.exists(cache_file):
         g1_limbs = np.load(cache_file)["g1"]
     else:
+        import jax
+
         ops = curve_ops(curve)
         f = field_ops(curve.fr)
         tau_mont = jnp.asarray(
             limbs_mod.ints_to_mont_limbs([tau], curve.fr)[0]
         )
-        pows = polyops.powers(f, tau_mont, g1_count)        # [N, L] mont
         nbits = curve.fr.modulus.bit_length()
-        bits = f.bits_from_mont(pows, nbits)                # [N, nbits]
-        base = jnp.asarray(
-            np.broadcast_to(
-                np.asarray(ops.encode_affine([curve.g1])), (g1_count, 2, ops.L)
-            )
-        )
-        aff = ops.to_affine(ops.scalar_mul(base, bits))
-        g1_limbs = np.asarray(aff, dtype=np.int32)
+        base1 = np.asarray(ops.encode_affine([curve.g1]))
+        # chunked: one compiled (chunk-shaped) double-and-add reused across
+        # slices — bounds peak HBM (the [N, 254] bit table alone is 1 GB at
+        # 2^20) and survived where the single monolithic dispatch crashed
+        # the TPU worker (observed at 2^20, round 3)
+        chunk = 1 << 16
+        n_pad = -(-g1_count // chunk) * chunk
+        pows = polyops.powers(f, tau_mont, n_pad)           # [Np, L] mont
+        pieces = []
+        base = jnp.asarray(np.broadcast_to(base1, (chunk, 2, ops.L)))
+        for lo in range(0, n_pad, chunk):
+            bits = f.bits_from_mont(pows[lo : lo + chunk], nbits)
+            aff = ops.to_affine(ops.scalar_mul(base, bits))
+            pieces.append(np.asarray(jax.block_until_ready(aff), np.int32))
+        g1_limbs = np.concatenate(pieces)[:g1_count]
         os.makedirs(CACHE_DIR, exist_ok=True)
         np.savez(cache_file, g1=g1_limbs)
 

@@ -33,6 +33,7 @@ def log(*a):
 
 
 def main():
+    os.environ.setdefault("AP_PROVE_PROFILE", "1")  # phase table on stderr
     import jax
 
     jax.config.update(

@@ -51,6 +51,23 @@ def main():
     print(f"wrote {proof_path} ({os.path.getsize(proof_path)} B), "
           f"{pi_path} ({os.path.getsize(pi_path)} B)")
 
+    # offline execution of the emitted verifier under the AVM-faithful
+    # algopy mock — the no-localnet equivalent of the reference's simulate
+    from algoplonk_tpu.chain import algopy_mock as mock
+
+    with open(verifier_py) as fh:
+        ns = mock.exec_verifier_source(fh.read())
+    with open(proof_path, "rb") as fh:
+        proof_blob = fh.read()
+    with open(pi_path, "rb") as fh:
+        pi_blob = fh.read()
+    if "Verifier" in ns and isinstance(ns.get("Verifier"), type):
+        ok = mock.run_contract_verify(ns, proof_blob, pi_blob)
+    else:
+        ok = mock.run_logicsig(ns, proof_blob, pi_blob)
+    print(f"offline mock execution of the emitted verifier: accepted={ok}")
+    assert ok
+
     if toolchain.have_algokit():
         print("compiling verifier with puyapy...")
         toolchain.compile_with_puyapy(verifier_py)

@@ -59,6 +59,21 @@ def main():
         os.path.join(outdir, "merkle_proof.bin"),
         os.path.join(outdir, "merkle_public_inputs.bin"),
     )
+
+    # offline execution of the emitted verifier under the AVM-faithful
+    # algopy mock — the no-localnet equivalent of the reference's simulate
+    from algoplonk_tpu.chain import algopy_mock as mock
+
+    with open(verifier_py) as fh:
+        ns = mock.exec_verifier_source(fh.read())
+    with open(os.path.join(outdir, "merkle_proof.bin"), "rb") as fh:
+        proof_blob = fh.read()
+    with open(os.path.join(outdir, "merkle_public_inputs.bin"), "rb") as fh:
+        pi_blob = fh.read()
+    ok = mock.run_logicsig(ns, proof_blob, pi_blob)
+    print(f"offline mock execution of the emitted verifier: accepted={ok}")
+    assert ok
+
     print("done")
 
 

@@ -17,9 +17,15 @@ bench:
 bench-kernels:
 	python bench_kernels.py
 
+bench-prove:
+	python bench_prove.py
+
+bench-scaling:
+	python bench_scaling.py
+
 all: test examples
 
-.PHONY: test test-all examples bench bench-kernels all
+.PHONY: test test-all examples bench bench-kernels bench-prove bench-scaling all
 
 native:
 	g++ -O3 -shared -fPIC -o algoplonk_tpu/native/libapmath.so algoplonk_tpu/native/csrc/apmath.cc

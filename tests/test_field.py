@@ -111,3 +111,18 @@ def test_domain_generator(curve):
     k1 = curve.coset_shift
     assert pow(k1, n, r) != 1
     assert pow(k1, n, r) != pow(k1 * k1 % r, n, r)
+
+
+@pytest.mark.parametrize("mode", ["gather", "pad", "conv"])
+def test_mul_cols_modes(monkeypatch, mode):
+    """All three column-sum formulations (backend default, TPU alternative,
+    experimental conv — ADVICE r2) agree with exact host arithmetic."""
+    import algoplonk_tpu.ops.field as field_mod
+
+    fp = BN254.fr
+    fresh = field_mod.FieldOps(fp)
+    fresh._cols_mode = mode
+    xs = [0, 1, fp.modulus - 1, 0xA1607 % fp.modulus, 3**100 % fp.modulus]
+    ys = [fp.modulus - 1, 12345, 1, 7**77 % fp.modulus, 0]
+    got = fresh.decode(fresh.mul(fresh.encode(xs), fresh.encode(ys)))
+    assert got == [x * y % fp.modulus for x, y in zip(xs, ys)]

