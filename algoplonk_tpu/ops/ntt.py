@@ -13,6 +13,7 @@ exchange over ICI) lives in parallel/ntt_sharded.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,13 +63,24 @@ class NttPlan:
         )
         self.bitrev = jnp.asarray(_bit_reverse_perm(self.n))
         self._ntt_jit = jax.jit(self._transform, static_argnums=(1,))
+        # Large transforms run the butterfly stages in GROUPS of separate
+        # dispatches: the axon AOT compiler's buffer assignment keeps every
+        # unrolled stage's [n, L] output alive inside one program (~9 GB
+        # internal peak at 2^22 — observed RESOURCE_EXHAUSTED on v5e once
+        # ambient HBM use passed a few GB), while grouped execution peaks at
+        # ~(group+2) buffers and frees between groups.
+        self._stage_group = (
+            int(os.environ.get("AP_NTT_GROUP", "1"))
+            if log_n >= int(os.environ.get("AP_NTT_GROUP_MIN_LOG", "21"))
+            else 0
+        )
+        self._group_jits = {}
 
-    def _transform(self, a, inverse: bool):
+    def _stage_range(self, a, inverse: bool, s0: int, s1: int):
         f = self.f
         n, L = self.n, self.f.L
         tw = self.tw_inv if inverse else self.tw_fwd
-        a = a[self.bitrev]
-        for s in range(self.log_n):
+        for s in range(s0, s1):
             half = 1 << s
             stride = n // (2 * half)
             w = tw[::stride][:half]  # [half, L]
@@ -76,16 +88,48 @@ class NttPlan:
             u = a[:, 0]
             v = f.mul(a[:, 1], w[None])
             a = jnp.stack([f.add(u, v), f.sub(u, v)], axis=1).reshape(n, L)
+        return a
+
+    def _transform(self, a, inverse: bool):
+        a = a[self.bitrev]
+        a = self._stage_range(a, inverse, 0, self.log_n)
         if inverse:
-            a = f.mul(a, jnp.broadcast_to(self.n_inv_mont, a.shape))
+            a = self.f.mul(
+                a, jnp.broadcast_to(self.n_inv_mont, a.shape)
+            )
+        return a
+
+    def _transform_grouped(self, a, inverse: bool):
+        g = self._stage_group
+        a = a[self.bitrev]
+        for s0 in range(0, self.log_n, g):
+            s1 = min(s0 + g, self.log_n)
+            key = (inverse, s0, s1)
+            jfn = self._group_jits.get(key)
+            if jfn is None:
+                jfn = jax.jit(
+                    functools.partial(
+                        self._stage_range, inverse=inverse, s0=s0, s1=s1
+                    )
+                )
+                self._group_jits[key] = jfn
+            a = jfn(a)
+        if inverse:
+            a = self.f.mul(
+                a, jnp.broadcast_to(self.n_inv_mont, a.shape)
+            )
         return a
 
     def ntt(self, coeffs):
         """Coefficients -> evaluations p(omega^i), natural order. [n, L]"""
+        if self._stage_group:
+            return self._transform_grouped(coeffs, False)
         return self._ntt_jit(coeffs, False)
 
     def intt(self, evals):
         """Evaluations -> coefficients. [n, L]"""
+        if self._stage_group:
+            return self._transform_grouped(evals, True)
         return self._ntt_jit(evals, True)
 
     # ------------------------------------------------------------ coset

@@ -61,13 +61,23 @@ def sharded_ntt_fn(curve_name: str, mesh: Mesh, axis: str, log_n: int,
     )
     tw_dev = jnp.asarray(tw_flat).reshape(n2, n1, f.L)
 
-    # coset pre/post scale: index j = j1*n2 + j2 at [j2, j1]
+    # coset pre/post scale.  Forward: input position [j2, j1] holds
+    # coefficient j1*n2 + j2.  Inverse: OUTPUT position [k2, k1] holds
+    # coefficient k2*n1 + k1 (the four-step's transposed output layout),
+    # so the g^-k exponents follow that convention instead.
     cs_dev = None
     if coset_shift is not None:
         g = pow(coset_shift, -1, r) if inverse else coset_shift
-        cs = [
-            [pow(g, j1 * n2 + j2, r) for j1 in range(n1)] for j2 in range(n2)
-        ]
+        if inverse:
+            cs = [
+                [pow(g, k2 * n1 + k1, r) for k1 in range(n1)]
+                for k2 in range(n2)
+            ]
+        else:
+            cs = [
+                [pow(g, j1 * n2 + j2, r) for j1 in range(n1)]
+                for j2 in range(n2)
+            ]
         cs_dev = jnp.asarray(
             limbs_mod.ints_to_mont_limbs(
                 [v for row in cs for v in row], curve.fr

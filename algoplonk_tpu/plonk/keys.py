@@ -54,11 +54,10 @@ class ProvingKey:
     omega: int
     coset_shift: int
     nb_public: int
-    # evaluation-form selectors (qk incomplete)
-    ql_ev: jnp.ndarray
-    qr_ev: jnp.ndarray
-    qm_ev: jnp.ndarray
-    qo_ev: jnp.ndarray
+    # evaluation-form selectors: only qk (completed with public inputs in
+    # round 3) and the sigma columns are consumed by the prover; the other
+    # selectors live in coefficient form only (dropping their eval forms
+    # saves 4 x [n, L] of resident HBM — 370 MB at 2^20)
     qk_ev: jnp.ndarray
     s1_ev: jnp.ndarray
     s2_ev: jnp.ndarray

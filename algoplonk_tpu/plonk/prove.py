@@ -106,17 +106,20 @@ class Prover:
         self.r = r
         n = pk.n
         self.coset_g = self.curve.coset_shift  # prover-internal coset shift
-        # X values on the 4n coset, and 1/Z_H(x) there (periodic pattern)
+        # 1/Z_H on the 4n coset is a 4-periodic pattern; the coset X values
+        # (g * w4^i) are computed on device per prove and freed before the
+        # final 4n iNTT — keeping a [4n, L] array resident (370 MB at 2^20)
+        # was part of the round-3 OOM
         w4 = domain_generator(self.curve.name, pk.log_n + 2)
+        self.w4 = w4
         g = self.coset_g
-        xs = [g * pow(w4, i, r) % r for i in range(4 * n)]
-        self.xs_coset = self._enc(xs)
         gn = pow(g, n, r)
         w4n = pow(w4, n, r)  # order 4
         zh_pat = [(gn * pow(w4n, i, r) - 1) % r for i in range(4)]
         inv_pat = [pow(v, -1, r) for v in zh_pat]
-        self.zh_coset = self._enc([zh_pat[i % 4] for i in range(4 * n)])
-        self.inv_zh_coset = self._enc([inv_pat[i % 4] for i in range(4 * n)])
+        # Z_H on the 4n coset is 4-periodic: store the patterns, tile at use
+        self.zh_pattern = self._enc(zh_pat)
+        self.inv_zh_pattern = self._enc(inv_pat)
         self._bsb = []  # per-proof BSB22 state, filled by bsb_solver
 
     # ---------------------------------------------------------------- utils
@@ -226,8 +229,17 @@ class Prover:
 
         def _mark(name):
             if _prof:
+                import jax as _jax
+
                 now = _time.perf_counter()
-                print(f"  prove phase {name}: {now - _t[0]:.2f}s",
+                mem = ""
+                try:
+                    st = _jax.local_devices()[0].memory_stats()
+                    mem = (f"  [hbm {st['bytes_in_use']/2**30:.2f} GiB in use"
+                           f", peak {st.get('peak_bytes_in_use', 0)/2**30:.2f}]")
+                except Exception:
+                    pass
+                print(f"  prove phase {name}: {now - _t[0]:.2f}s{mem}",
                       file=_sys.stderr, flush=True)
                 _t[0] = now
 
@@ -288,6 +300,9 @@ class Prover:
         z_ev = jnp.concatenate([one_row, pp[:-1]], axis=0)
         z_c = self._blind(plan.intt(z_ev), 3)
         z_com = self._commit(z_c)
+        # free round-2 working set before the coset phase (HBM peak)
+        del num, den, ratio, pp, z_ev, id1, id2, id3, omega_pows
+        del l_ev, r_ev, o_ev
 
         _mark("r2 grand product")
         alpha_d, alpha = self.tr.alpha(beta_d, bsb_coms, z_com)
@@ -312,51 +327,71 @@ class Prover:
         def lift(coeffs):
             return plan4.coset_ntt(_pad_to(coeffs, N4), g)
 
+        # HBM discipline (2^20 on a 16 GB chip OOM'd the all-at-once form:
+        # 15 lifted polynomials at [4n, L] are ~370 MB each): lift each
+        # selector just in time, accumulate, and drop the reference so the
+        # buffer frees before the next lift.  Live set stays ~6 coset-wide
+        # arrays plus NTT transients.
         l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
-        ql4, qr4, qm4 = lift(pk.ql_c), lift(pk.qr_c), lift(pk.qm_c)
-        qo4, qk4 = lift(pk.qo_c), lift(qk_c_complete)
-        s14, s24, s34 = lift(pk.s1_c), lift(pk.s2_c), lift(pk.s3_c)
+
+        gate = f.mul(lift(pk.ql_c), l4)
+        gate = f.add(gate, f.mul(lift(pk.qr_c), r4))
+        gate = f.add(gate, f.mul(lift(pk.qm_c), f.mul(l4, r4)))
+        gate = f.add(gate, f.mul(lift(pk.qo_c), o4))
+        gate = f.add(gate, lift(qk_c_complete))
+        for i, b in enumerate(bsb):
+            gate = f.add(gate, f.mul(lift(pk.qcp_c[i]), lift(b["c_c"])))
+
+        xs = f.mul(
+            polyops.powers(f, self._const(self.w4), N4),
+            jnp.broadcast_to(self._const(g), (N4, f.L)),
+        )
+        bl = jnp.broadcast_to(beta_l, xs.shape)
+        gl = jnp.broadcast_to(gamma_l, xs.shape)
+        bxs = f.mul(bl, xs)
+        A = f.add(f.add(l4, bxs), gl)
+        A = f.mul(A, f.add(
+            f.add(r4, f.mul(bxs, jnp.broadcast_to(self._const(k1), xs.shape))),
+            gl,
+        ))
+        A = f.mul(A, f.add(
+            f.add(o4, f.mul(bxs, jnp.broadcast_to(self._const(k2), xs.shape))),
+            gl,
+        ))
+        del bxs
         z4 = lift(z_c)
+        ones = jnp.broadcast_to(f.one, xs.shape).astype(jnp.int32)
+        z4m1 = f.sub(z4, ones)
+        perm = f.mul(A, z4)
+        del A, z4
+
+        D = f.add(f.add(l4, f.mul(bl, lift(pk.s1_c))), gl)
+        D = f.mul(D, f.add(f.add(r4, f.mul(bl, lift(pk.s2_c))), gl))
+        D = f.mul(D, f.add(f.add(o4, f.mul(bl, lift(pk.s3_c))), gl))
+        del l4, r4, o4, bl, gl
         # z(omega X): scale coefficients by omega^i
         zw_c = f.mul(
             z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
         )
-        zw4 = lift(zw_c)
+        perm = f.sub(f.mul(D, lift(zw_c)), perm)
+        del D, zw_c
 
-        xs = self.xs_coset
-        gate = f.add(
-            f.add(
-                f.add(f.mul(ql4, l4), f.mul(qr4, r4)),
-                f.mul(qm4, f.mul(l4, r4)),
-            ),
-            f.add(f.mul(qo4, o4), qk4),
-        )
-        for i, b in enumerate(bsb):
-            gate = f.add(gate, f.mul(lift(pk.qcp_c[i]), lift(b["c_c"])))
-        bl = jnp.broadcast_to(beta_l, xs.shape)
-        gl = jnp.broadcast_to(gamma_l, xs.shape)
-        A = f.mul(
-            f.mul(
-                f.add(f.add(l4, f.mul(bl, xs)), gl),
-                f.add(f.add(r4, f.mul(bl, f.mul(xs, jnp.broadcast_to(self._const(k1), xs.shape)))), gl),
-            ),
-            f.add(f.add(o4, f.mul(bl, f.mul(xs, jnp.broadcast_to(self._const(k2), xs.shape)))), gl),
-        )
-        D = f.mul(
-            f.mul(
-                f.add(f.add(l4, f.mul(bl, s14)), gl),
-                f.add(f.add(r4, f.mul(bl, s24)), gl),
-            ),
-            f.add(f.add(o4, f.mul(bl, s34)), gl),
-        )
-        perm = f.sub(f.mul(D, zw4), f.mul(A, z4))
-
-        # L1 on the coset: (x^n - 1) / (n (x - 1))
-        ones = jnp.broadcast_to(f.one, xs.shape).astype(jnp.int32)
-        den_l1 = f.mul(
-            f.sub(xs, ones), jnp.broadcast_to(self._const(n), xs.shape)
-        )
-        L1 = f.mul(self.zh_coset, polyops.batch_inverse(f, den_l1))
+        # L1 on the coset: (x^n - 1) / (n (x - 1)); Z_H values are a
+        # 4-periodic pattern, tiled transiently (materializing them as
+        # persistent [4n] state costs 2 x 370 MB at 2^20)
+        zh_tiled = jnp.tile(self.zh_pattern, (n, 1))
+        inv_zh_tiled = jnp.tile(self.inv_zh_pattern, (n, 1))
+        # chunked batch inversion: the Montgomery trick is independent per
+        # chunk; 4 chunks of n quarter the scan's transient [4n] buffers
+        nconst = jnp.broadcast_to(self._const(n), (n, f.L))
+        inv_parts = []
+        for q in range(4):
+            den_q = f.mul(
+                f.sub(xs[q * n : (q + 1) * n], ones[:n]), nconst
+            )
+            inv_parts.append(polyops.batch_inverse(f, den_q))
+        L1 = f.mul(zh_tiled, jnp.concatenate(inv_parts, axis=0))
+        del inv_parts, nconst, zh_tiled
 
         alpha_l = self._const(alpha)
         alpha2_l = self._const(alpha * alpha % r)
@@ -366,12 +401,15 @@ class Prover:
                 f.mul(jnp.broadcast_to(alpha_l, perm.shape), perm),
                 f.mul(
                     jnp.broadcast_to(alpha2_l, L1.shape),
-                    f.mul(L1, f.sub(z4, ones)),
+                    f.mul(L1, z4m1),
                 ),
             ),
         )
-        h_ev = f.mul(num_total, self.inv_zh_coset)
+        del gate, perm, L1, z4m1, xs, ones
+        h_ev = f.mul(num_total, inv_zh_tiled)
+        del num_total, inv_zh_tiled
         h_c = plan4.coset_intt(h_ev, g)
+        del h_ev
 
         m = n + 2
         h0_c, h1_c, h2_c = h_c[:m], h_c[m : 2 * m], h_c[2 * m : 3 * m]

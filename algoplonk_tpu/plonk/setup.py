@@ -176,7 +176,6 @@ def setup(ccs: CompiledConstraintSystem, srs: SRS) -> tuple[ProvingKey, Verifyin
         omega=omega,
         coset_shift=k1,
         nb_public=npub,
-        ql_ev=evs["ql"], qr_ev=evs["qr"], qm_ev=evs["qm"], qo_ev=evs["qo"],
         qk_ev=evs["qk"],
         s1_ev=evs["s1"], s2_ev=evs["s2"], s3_ev=evs["s3"],
         ql_c=coeffs["ql"], qr_c=coeffs["qr"], qm_c=coeffs["qm"],

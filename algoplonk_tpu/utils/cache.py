@@ -23,7 +23,7 @@ def serialize_compiled_circuit(cc) -> bytes:
     arrays = {
         name: np.asarray(getattr(pk, name))
         for name in (
-            "ql_ev", "qr_ev", "qm_ev", "qo_ev", "qk_ev",
+            "qk_ev",
             "s1_ev", "s2_ev", "s3_ev",
             "ql_c", "qr_c", "qm_c", "qo_c", "qk_c",
             "s1_c", "s2_c", "s3_c", "srs_g1",
@@ -65,8 +65,7 @@ def deserialize_compiled_circuit(data: bytes):
         curve=curve,
         n=s["n"], log_n=s["log_n"], omega=s["omega"],
         coset_shift=s["coset_shift"], nb_public=s["nb_public"],
-        ql_ev=arr["ql_ev"], qr_ev=arr["qr_ev"], qm_ev=arr["qm_ev"],
-        qo_ev=arr["qo_ev"], qk_ev=arr["qk_ev"],
+        qk_ev=arr["qk_ev"],
         s1_ev=arr["s1_ev"], s2_ev=arr["s2_ev"], s3_ev=arr["s3_ev"],
         ql_c=arr["ql_c"], qr_c=arr["qr_c"], qm_c=arr["qm_c"],
         qo_c=arr["qo_c"], qk_c=arr["qk_c"],

@@ -19,6 +19,19 @@ from algoplonk_tpu.parallel.ntt_sharded import sharded_ntt_fn
 NDEV = 4
 
 
+@pytest.fixture(autouse=True)
+def _clear_between_tests():
+    """The XLA CPU backend segfaults when this module's many very large
+    shard_map compiles accumulate in one process (same failure mode the
+    suite-wide per-module clear in conftest.py works around) — clear after
+    every test here."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="module")
 def mesh():
     devs = jax.devices("cpu")
