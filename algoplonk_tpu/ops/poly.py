@@ -171,6 +171,31 @@ def poly_eval(f: FieldOps, coeffs, z_limbs):
     return horner_scan(f, coeffs[::-1], z_limbs)[-1]
 
 
+def poly_eval_many(f: FieldOps, coeffs_seq, z_limbs):
+    """Evaluate several (ascending-coefficient) polynomials at one point:
+    one powers scan + one batched multiply + a log-depth add tree, instead
+    of a sequential Horner scan per polynomial (the prover's round 4 paid
+    ~1.8 s per evaluation at 2^18 in separate dispatches).  Returns [k, L].
+    """
+    n_max = max(c.shape[0] for c in coeffs_seq)
+    n_pad = 1 << (n_max - 1).bit_length() if n_max > 1 else 1
+    L = f.L
+    padded = []
+    for c in coeffs_seq:
+        if c.shape[0] < n_pad:
+            c = jnp.concatenate(
+                [c, jnp.zeros((n_pad - c.shape[0], L), jnp.int32)], axis=0
+            )
+        padded.append(c)
+    stack = jnp.stack(padded)                      # [k, n_pad, L]
+    pows = powers(f, z_limbs, n_pad)               # [n_pad, L]
+    x = f.mul(stack, jnp.broadcast_to(pows[None], stack.shape))
+    while x.shape[1] > 1:
+        h = x.shape[1] // 2
+        x = f.add(x[:, :h], x[:, h:])
+    return x[:, 0]
+
+
 def kzg_quotient(f: FieldOps, coeffs, z_limbs):
     """(p(X) - p(z)) / (X - z) for coeffs ascending [n, L].
 

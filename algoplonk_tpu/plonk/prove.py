@@ -420,18 +420,18 @@ class Prover:
         _mark("r3 quotient")
         zeta_d, zeta = self.tr.zeta(alpha_d, h0, h1, h2)
 
-        # ---- round 4: evaluations
+        # ---- round 4: evaluations (batched: one scan + one reduction +
+        # ONE host sync for all openings at zeta)
         zl = self._const(zeta)
-        l_z = self._dec1(polyops.poly_eval(f, l_c, zl))
-        r_z = self._dec1(polyops.poly_eval(f, r_c, zl))
-        o_z = self._dec1(polyops.poly_eval(f, o_c, zl))
-        s1_z = self._dec1(polyops.poly_eval(f, pk.s1_c, zl))
-        s2_z = self._dec1(polyops.poly_eval(f, pk.s2_c, zl))
+        evs = polyops.poly_eval_many(
+            f, [l_c, r_c, o_c, pk.s1_c, pk.s2_c, *pk.qcp_c], zl
+        )
         wzeta = pk.omega * zeta % r
-        zw_z = self._dec1(polyops.poly_eval(f, z_c, self._const(wzeta)))
-        qcp_z = [
-            self._dec1(polyops.poly_eval(f, qcp_c, zl)) for qcp_c in pk.qcp_c
-        ]
+        zw_ev = polyops.poly_eval_many(f, [z_c], self._const(wzeta))
+        vals = self.f.decode(jnp.concatenate([evs, zw_ev], axis=0))
+        l_z, r_z, o_z, s1_z, s2_z = vals[:5]
+        qcp_z = vals[5:-1]
+        zw_z = vals[-1]
 
         # ---- linearization polynomial
         zh_z = (pow(zeta, n, r) - 1) % r

@@ -51,9 +51,9 @@ def test_sharded_msm_matches_host(mesh):
     bits = ops.scalar_bits_array(list(range(1, n + 1)))
     pts = np.asarray(ops.to_affine(ops.scalar_mul(base, bits)))
     scalars = [3 * i + 7 for i in range(n)]
-    digits = scalar_digits(scalars)
+    digits = scalar_digits(scalars, c=5)
 
-    fn = sharded_msm_fn(curve, mesh, "x", n, digits.shape[0])
+    fn = sharded_msm_fn(curve, mesh, "x", n, digits.shape[0], 5)
     pts_sh = jax.device_put(jnp.asarray(pts), NamedSharding(mesh, P("x")))
     dig_sh = jax.device_put(
         jnp.asarray(digits), NamedSharding(mesh, P(None, "x"))
