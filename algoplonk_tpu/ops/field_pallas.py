@@ -29,13 +29,47 @@ from ..fields.params import LIMB_BITS, LIMB_MASK, FieldParams
 from ..fields import limbs as limbs_mod
 
 
+def sub_bias_limbs(fp: FieldParams) -> tuple[np.ndarray, int]:
+    """Borrow-biased limb representation of k*p for the lazy subtraction.
+
+    ``sub_lazy(a, b) = relax(a - b + B, 1)`` needs every limb of the bias B
+    to dominate the corresponding limb of b so the per-limb differences stay
+    non-negative (negative limbs would break the exact 0-or-R carry-out test
+    inside ``mul``).  Construction: take the canonical limbs of k*p and move
+    2^13 of headroom into every limb below the top (B_i += 2^13, B_{i+1} -= 2
+    — value preserved since 2^13 * 2^(12 i) = 2 * 2^(12 (i+1))).  Mid limbs
+    then carry >= 2^13 - 2 of headroom, enough for any relaxed limb
+    (<= 2^12 + 96); the top limb cannot be biased (p's top limb is tiny), so
+    k is grown until k*p's top limb covers the top limb of any subtrahend of
+    value < 4p, plus the -2 borrow.  Returns (B [L] int32, k).
+    """
+    L = fp.nlimbs
+    top = LIMB_BITS * (L - 1)
+    b_top_max = (4 * fp.modulus) >> top   # max top limb of a value < 4p
+    k = 1
+    while ((k * fp.modulus) >> top) < b_top_max + 2:
+        k *= 2
+    kp = k * fp.modulus
+    assert kp < fp.R, (fp.name, k)
+    c = np.asarray(limbs_mod.int_to_limbs(kp, fp), np.int64)
+    bias = c.copy()
+    bias[: L - 1] += 1 << (LIMB_BITS + 1)
+    bias[1:] -= 2
+    assert (bias[:-1] >= (1 << LIMB_BITS) + 96 + 2).all() and \
+        bias[L - 1] >= b_top_max, (fp.name, bias)
+    assert sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(bias)) == kp
+    return bias.astype(np.int32), k
+
+
 def field_consts(fp: FieldParams) -> np.ndarray:
-    """[3, L]: modulus limbs, -p^-1 mod R limbs, Montgomery one."""
+    """[4, L]: modulus limbs, -p^-1 mod R limbs, Montgomery one, and the
+    borrow-biased k*p limbs consumed by ``FieldVals.sub_lazy``."""
     return np.stack(
         [
             np.asarray(limbs_mod.int_to_limbs(fp.modulus, fp), np.int32),
             np.asarray(limbs_mod.int_to_limbs(fp.n_prime, fp), np.int32),
             np.asarray(limbs_mod.int_to_limbs(fp.r, fp), np.int32),
+            sub_bias_limbs(fp)[0],
         ]
     )
 
@@ -94,6 +128,11 @@ class FieldVals:
         self.p = consts_val[0][:, None]       # [L, 1]
         self.np_ = consts_val[1][:, None]
         self.one = consts_val[2][:, None]
+        # borrow-biased k*p limbs for sub_lazy ([L, 1]; lane-only broadcast
+        # in adds is safe — only products with [L, 1] operands upset Mosaic)
+        self.bias = (
+            consts_val[3][:, None] if consts_val.shape[0] > 3 else None
+        )
         if mats_val is not None:
             L = self.L
             self.m1_lo = mats_val[:L]
@@ -165,8 +204,13 @@ class FieldVals:
         h = ceil(L/2); 3 half-size convolutions instead of one full one
         (~25% fewer VPU multiplies).  The cross term zm - z0 - z2 is
         column-wise non-negative (it equals sum a0_i b1_j + a1_i b0_j), so
-        every assembled column stays a non-negative int32 bounded by the
-        schoolbook bound < 2^29."""
+        every assembled column stays a non-negative int32.
+
+        Bounds under the lazy-operand discipline (limbs <= 2^12 + 96,
+        non-negative; worst case L = 33 for BLS12-381): lo/hi limb sums
+        a0+a1 <= 2(2^12 + 96) < 2^13.1, so zm columns <= 17 * 2^26.2 < 2^30.3
+        and the assembled columns equal the true convolution sums
+        <= 33 * (2^12 + 96)^2 < 2^29.2 — every intermediate fits int32."""
         L = self.L
         h = (L + 1) // 2
         a0, a1 = a[:h], a[h:]
@@ -174,8 +218,16 @@ class FieldVals:
         pad_tail = [(0, 0)] * (a.ndim - 1)
         z0 = self.mul_cols(a0, b0, 2 * h)            # [2h]
         z2 = self.mul_cols(a1, b1, 2 * (L - h))      # [2(L-h)]
-        # lo/hi sums <= 2^13 - 2; zm columns <= h * (2^13)^2 < 2^30: int32 ok
-        zm = self.mul_cols(a0 + a1, b0 + b1, 2 * h)
+        # odd L (BLS12-381's 33): the high half is one limb short — zero-pad
+        # it for the cross-term sums
+        if L - h < h:
+            tail = [(0, 2 * h - L)] + pad_tail
+            a1s = a0 + jnp.pad(a1, tail)
+            b1s = b0 + jnp.pad(b1, tail)
+        else:
+            a1s, b1s = a0 + a1, b0 + b1
+        # lo/hi sums < 2^13.1; zm columns < 2^30.3 (class docstring): int32 ok
+        zm = self.mul_cols(a1s, b1s, 2 * h)
         z1 = zm - z0 - jnp.pad(
             z2, [(0, 2 * h - 2 * (L - h))] + pad_tail
         )
@@ -206,15 +258,22 @@ class FieldVals:
         d11 = dot(c_hi, x_hi)
         return d00 + ((d01 + d10) << 6) + (d11 << 12)
 
-    def mul(self, a, b):
-        """Montgomery product (bounds as in ops/field.py FieldOps.mul).
+    def _redc_hi(self, a, b):
+        """Montgomery REDC high half in relaxed limbs (<= 2^12 + 96,
+        non-negative): the shared core of mul / mul_lazy.
 
         With mats bound: data product via Karatsuba columns, both constant
         REDC products (by -p^-1 and by p) on the MXU.  Two relaxation passes
-        suffice everywhere: from columns < 2^29.5 they bound every limb by
-        2^12 + 24, which (a) keeps all downstream products in int32/fp32
-        range and (b) preserves the low-half value < 1.01 R < 2R, so the
-        0-or-R carry-out test below stays exact."""
+        suffice under the lazy-operand discipline (input limbs <= 2^12 + 96):
+        columns < 2^30.3 (kara_cols bound) relax to limbs <= 2^12 + 40, which
+        (a) keeps all downstream products in int32/fp32 range and (b)
+        preserves the low-half value < 1.02 R < 2R, so the 0-or-R carry-out
+        test below stays exact (limbs are non-negative throughout — the
+        sub_lazy bias construction guarantees it).
+
+        Value of the result: t = (a*b + m*p) / R <= a*b/R + 1.01 p, defined
+        whenever a*b < R*p.  The headroom R >= 2^10 p (BN254) / 2^15 p
+        (BLS12-381, params._mk_field) admits lazy operands of tens of p."""
         L = self.L
         if self.m1_lo is not None:
             cols = self.kara_cols(a, b)
@@ -229,10 +288,24 @@ class FieldVals:
             m = self.relax(self.mul_cols(t_low, self.np_, L), 3)
             s = self.relax(self.mul_cols(m, self.p, 2 * L) + cols, 3)
         c_out = jnp.any(s[:L] != 0, axis=0).astype(jnp.int32)
-        hi = s[L:] + jnp.pad(
+        return s[L:] + jnp.pad(
             c_out[None], [(0, L - 1)] + [(0, 0)] * c_out.ndim
         )
-        return self.cond_sub_p(self.ks_carry(hi))
+
+    def mul(self, a, b):
+        """Strict Montgomery product: canonical limbs, value < p (requires
+        a*b < R*p; tolerates lazy operands — one cond_sub suffices because
+        t < a*b/R + 1.01p < 2p whenever a*b < 0.99 R*p)."""
+        return self.cond_sub_p(self.ks_carry(self._redc_hi(a, b)))
+
+    def mul_lazy(self, a, b):
+        """Montgomery product WITHOUT the carry tail: skips the Kogge-Stone
+        carry and the conditional subtract (~40% of a mul's vector work).
+        Output in relaxed limbs (<= 2^12 + 96), value < a*b/R + 1.01p — under
+        the point-formula discipline (ops/curve_pallas.py) always < 1.3p.
+        Safe wherever the consumer tolerates relaxed limbs and lazy values:
+        another mul, add_lazy, or sub_lazy."""
+        return self._redc_hi(a, b)
 
     def square(self, a):
         return self.mul(a, a)
@@ -242,17 +315,29 @@ class FieldVals:
 
     def add_lazy(self, a, b):
         """Non-reducing add: value a + b (NOT brought below p), limbs
-        re-bounded to < 2^12 + 3 by one relaxation pass.  Safe wherever the
-        consumer is a multiplication (REDC tolerates values far above p —
-        ab < R*p needs only a, b < 2^259) or another bounded lazy add; the
-        full Kogge-Stone carry + conditional subtract of the strict add is
-        ~20x the vector work of the single relax pass."""
+        re-bounded to <= 2^12 + 4 by one relaxation pass.  Safe wherever the
+        consumer is a multiplication (REDC tolerates lazy values: a*b < R*p
+        holds for operands of tens of p because _mk_field forces R >= 2^10 p
+        for BN254 and R >= 2^15 p for BLS12-381 — see _redc_hi) or another
+        bounded lazy add/sub; the full Kogge-Stone carry + conditional
+        subtract of the strict add is ~20x the vector work of the single
+        relax pass."""
         return self.relax(a + b, 1)
 
     def sub(self, a, b):
         diff, borrow = self.sub_borrow(a, b)
         plus_p = self.ks_carry(diff + self.p)
         return jnp.where((borrow == 1)[None], plus_p, diff)
+
+    def sub_lazy(self, a, b):
+        """Non-reducing subtract: value a - b + k*p (k = sub_bias_limbs'
+        multiplier: 8 for BN254, 32 for BLS12-381), limbs re-bounded to
+        <= 2^12 + 4 by one relaxation pass.  Requires value(b) < 4p with
+        non-negative relaxed limbs (then every per-limb difference
+        a_i - b_i + B_i is non-negative — see sub_bias_limbs); a may be any
+        lazy value.  One relax pass instead of the strict sub's two
+        Kogge-Stone chains."""
+        return self.relax(a - b + self.bias, 1)
 
     def is_zero(self, a):
         return jnp.all(a == 0, axis=0)

@@ -185,14 +185,24 @@ class _Adders:
         self.use_pallas = use_pallas
         if use_pallas:
             from .curve_pallas import (
+                pallas_canon,
                 pallas_jac_add,
+                pallas_jac_add_multi,
                 pallas_mixed_add,
                 pallas_mixed_add_signed,
+                pallas_mixed_add_signed_multi,
             )
 
             self._mixed = pallas_mixed_add(ops.curve, _TILE)
             self._mixed_signed = pallas_mixed_add_signed(ops.curve, _TILE)
             self._jac = pallas_jac_add(ops.curve, _TILE)
+            self._mixed_signed_multi = lambda g: pallas_mixed_add_signed_multi(
+                ops.curve, _TILE, g
+            )
+            self._jac_multi = lambda g: pallas_jac_add_multi(
+                ops.curve, _TILE, g
+            )
+            self._canon = pallas_canon(ops.curve.fp, _TILE)
 
     def inf(self, w: int):
         """Limbs-major identity (0 : 1 : 0) at lane width w."""
@@ -231,6 +241,28 @@ class _Adders:
             neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)[None]
             return self._mixed_signed(acc_lm, pts, neg)
         return self.mixed(acc_lm, _gather_signed(self.ops, points_pad, packed))
+
+    def gather_mixed_multi(self, acc_lm, points_pad, packed):
+        """``g`` fused signed gather-adds: packed [g, W] -> acc after adding
+        all g gathered point rows in sequence (pallas path only — callers
+        keep the fori_loop formulation for XLA)."""
+        g, w = packed.shape
+        rows = packed & _ROW_MASK
+        pts = jnp.transpose(points_pad[rows], (0, 2, 3, 1))  # [g, 2, L, W]
+        pts = pts.reshape(2 * g, self.ops.L, w)
+        neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)
+        return self._mixed_signed_multi(g)(acc_lm, pts, neg)
+
+    def jac_multi(self, acc_lm, qs):
+        """``g`` fused projective adds: qs [g*3, L, W] added to acc in
+        sequence (pallas path only)."""
+        g = qs.shape[0] // 3
+        return self._jac_multi(g)(acc_lm, qs)
+
+    def canon(self, x_lm):
+        """Canonicalize lazy kernel outputs [R, L, W] (pallas path; XLA
+        values are already canonical)."""
+        return self._canon(x_lm) if self.use_pallas else x_lm
 
 
 def _pad_lanes(n: int) -> int:
@@ -282,16 +314,42 @@ def window_sums_scan(
     # [K, nw, nblk]: member j of each block, contiguous per loop step
     packed_blk = jnp.transpose(packed.reshape(nw, nblk, K), (2, 0, 1))
 
-    # ---- phase 1: in-block reduction -> block sums [3, L, W1p]
+    # ---- phase 1: in-block reduction -> block sums [3, L, W1p].
+    # Pallas: K steps fused into ceil(K/G) multi-step kernels (acc resident
+    # in VMEM across each G-step block); G bounded by the HBM cost of the
+    # staged gathers (G * W1p * 176 B) and by Mosaic kernel size.
     w1 = nw * nblk
     w1p = _pad_lanes(w1)
+    fuse = int(os.environ.get("AP_MSM_FUSE_STEPS", "8"))
 
-    def p1_body(j, acc):
-        idx = packed_blk[j].reshape(w1)
-        idx = jnp.concatenate([idx, jnp.full((w1p - w1,), n, jnp.int32)])
-        return add.gather_mixed(acc, points_pad, idx)
+    def fused_gather_steps(acc, packed_steps, nsteps, lanes, lanes_pad):
+        """packed_steps [nsteps, ...lanes]: apply in groups of <= ``fuse``."""
+        per_step_bytes = lanes_pad * 2 * ops.L * 4
+        g_max = max(1, min(fuse, (512 << 20) // max(per_step_bytes, 1)))
+        flat = packed_steps.reshape(nsteps, lanes)
+        flat = jnp.concatenate(
+            [flat, jnp.full((nsteps, lanes_pad - lanes), n, jnp.int32)],
+            axis=1,
+        )
+        j = 0
+        while j < nsteps:
+            g = min(g_max, nsteps - j)
+            acc = add.gather_mixed_multi(acc, points_pad, flat[j : j + g])
+            j += g
+        return acc
 
-    block_sums = jax.lax.fori_loop(0, K, p1_body, add.inf(w1p))
+    if use_pallas:
+        block_sums = fused_gather_steps(
+            add.inf(w1p), packed_blk, K, w1, w1p
+        )
+    else:
+
+        def p1_body(j, acc):
+            idx = packed_blk[j].reshape(w1)
+            idx = jnp.concatenate([idx, jnp.full((w1p - w1,), n, jnp.int32)])
+            return add.gather_mixed(acc, points_pad, idx)
+
+        block_sums = jax.lax.fori_loop(0, K, p1_body, add.inf(w1p))
 
     # ---- phase 3 target indices (shared by both phase-2 variants)
     dvals = jnp.arange(0, D + 1, dtype=jnp.int32)
@@ -360,10 +418,18 @@ def window_sums_scan(
             ((0, 0), (0, 0), (0, 0), (0, wsbp - wsb)),
         )
 
-        def p2a_body(j, acc):
-            return add.jac(acc, bs_steps[j])
+        if use_pallas:
+            super_sums = add.inf(wsbp)
+            qs = bs_steps.reshape(S * 3, ops.L, wsbp)
+            for j in range(0, S, fuse):
+                g = min(fuse, S - j)
+                super_sums = add.jac_multi(super_sums, qs[3 * j : 3 * (j + g)])
+        else:
 
-        super_sums = jax.lax.fori_loop(0, S, p2a_body, add.inf(wsbp))
+            def p2a_body(j, acc):
+                return add.jac(acc, bs_steps[j])
+
+            super_sums = jax.lax.fori_loop(0, S, p2a_body, add.inf(wsbp))
 
         # 2b: KS scan over super sums per window
         sb_idx = jnp.asarray(np.concatenate(
@@ -397,12 +463,32 @@ def window_sums_scan(
         )
         lane_b0 = w_ids * nblk + jnp.clip(esb_prev * S, 0, nblk - 1)
 
-        def p2c_body(j, acc):
-            invalid = (j > r2) | (prev < 0)
-            term = gather_rows_lm(bs_bm, lane_b0 + j, invalid)
-            return add.jac(acc, term)
+        if use_pallas:
+            # one vectorized gather for all S steps, then fused jac adds
+            j_all = jnp.arange(S, dtype=jnp.int32)[:, None, None]
+            invalid_all = (j_all > r2[None]) | (prev[None] < 0)
+            idx_all = jnp.where(
+                invalid_all, bs_bm.shape[0] - 1, lane_b0[None] + j_all
+            ).reshape(S, w2)
+            idx_all = jnp.concatenate(
+                [idx_all,
+                 jnp.full((S, w2p - w2), bs_bm.shape[0] - 1, jnp.int32)],
+                axis=1,
+            )
+            terms = jnp.transpose(bs_bm[idx_all], (0, 2, 3, 1))  # [S,3,L,W]
+            terms = terms.reshape(S * 3, ops.L, w2p)
+            rescan = add.inf(w2p)
+            for j in range(0, S, fuse):
+                g = min(fuse, S - j)
+                rescan = add.jac_multi(rescan, terms[3 * j : 3 * (j + g)])
+        else:
 
-        rescan = jax.lax.fori_loop(0, S, p2c_body, add.inf(w2p))
+            def p2c_body(j, acc):
+                invalid = (j > r2) | (prev < 0)
+                term = gather_rows_lm(bs_bm, lane_b0 + j, invalid)
+                return add.jac(acc, term)
+
+            rescan = jax.lax.fori_loop(0, S, p2c_body, add.inf(w2p))
         base_lm = add.jac(base_lm, rescan)
 
     # ---- phase 3: in-block point rescan up to e_d, then P[e_d]
@@ -414,13 +500,20 @@ def window_sums_scan(
     )                                              # [nw, D+1, K]
     blk_members = jnp.transpose(blk_members, (2, 0, 1))
 
-    def p3_body(j, acc):
-        live = (j <= r) & (e >= 0)                 # [nw, D+1]
-        idx = jnp.where(live, blk_members[j], n).reshape(w2)
-        idx = jnp.concatenate([idx, jnp.full((w2p - w2,), n, jnp.int32)])
-        return add.gather_mixed(acc, points_pad, idx)
+    if use_pallas:
+        j_all = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+        live_all = (j_all <= r[None]) & (e[None] >= 0)   # [K, nw, D+1]
+        idx_all = jnp.where(live_all, blk_members, n)
+        in_block = fused_gather_steps(add.inf(w2p), idx_all, K, w2, w2p)
+    else:
 
-    in_block = jax.lax.fori_loop(0, K, p3_body, add.inf(w2p))
+        def p3_body(j, acc):
+            live = (j <= r) & (e >= 0)             # [nw, D+1]
+            idx = jnp.where(live, blk_members[j], n).reshape(w2)
+            idx = jnp.concatenate([idx, jnp.full((w2p - w2,), n, jnp.int32)])
+            return add.gather_mixed(acc, points_pad, idx)
+
+        in_block = jax.lax.fori_loop(0, K, p3_body, add.inf(w2p))
     p_e = add.jac(base_lm, in_block)               # [3, L, W2p]
 
     # ---- phase 4: S_w = D * P[e_D] - sum_{d<D} P[e_d], limbs-major.
@@ -432,6 +525,11 @@ def window_sums_scan(
         return add.jac(acc, jnp.roll(acc, -h, axis=2))
 
     tree = jax.lax.fori_loop(0, (D - 1).bit_length(), p4_body, p_e)
+    # pallas kernel outputs are lazy residues (< 34p, relaxed limbs); the
+    # XLA-side math below (jac_double, strict sub) needs canonical values —
+    # one strict Montgomery multiply by one canonicalizes (pallas_canon)
+    tree = add.canon(tree)
+    p_e = add.canon(p_e)
     stride = D + 1
     prefix_sum = jnp.transpose(
         tree[:, :, 0 : nw * stride : stride], (2, 0, 1)
@@ -444,10 +542,7 @@ def window_sums_scan(
         return ops.jac_double(a)
 
     d_top = jax.lax.fori_loop(0, c - 1, dbl, top)  # D * P[e_D], D = 2^(c-1)
-    # pallas kernel outputs may be lazy (< 2p); the strict sub below needs
-    # a canonical subtrahend — f.add with zero reduces once
-    y_canon = f.add(prefix_sum[:, 1], jnp.zeros_like(prefix_sum[:, 1]))
-    neg_y = f.sub(jnp.zeros_like(y_canon), y_canon)
+    neg_y = f.sub(jnp.zeros_like(prefix_sum[:, 1]), prefix_sum[:, 1])
     neg_sum = jnp.concatenate(
         [prefix_sum[:, 0:1], neg_y[:, None], prefix_sum[:, 2:3]], axis=1
     )

