@@ -7,17 +7,27 @@ the slice of the `algopy` API the four emitted verifier programs use —
 BigUInt / Bytes / UInt64 / arc4 containers / Txn / Global / op.sha256 /
 op.EllipticCurve — with AVM-faithful semantics (byte-array bitwise ops
 zero-extend on the left, setbit bit 0 is the MSB of byte 0, EC points are
-big-endian uncompressed with all-zero = infinity, G2 coordinates are
-imaginary-part-first exactly as gnark-crypto marshals them, which is what
-go-algorand's ec opcodes parse).  Executing the emitted source against real
-marshalled proof blobs turns "our prover and verifier agree" into "the
-emitted on-chain program accepts our bytes".
+big-endian uncompressed with all-zero = infinity).  NOTE on the G2 wire
+order: the AVM/template layout is X.A0 || X.A1 || Y.A0 || Y.A1 — REAL part
+first (the template emits G2_SRS_X_1, holding A0, concatenated first;
+templateLogicSigBN254.go:22-23,350-353) — which is the OPPOSITE of
+gnark-crypto's imaginary-part-first marshal order; pairing_check below
+decodes accordingly.  Executing the emitted source against real marshalled
+proof blobs turns "our prover and verifier agree" into "the emitted
+on-chain program accepts our bytes".
+
+The mock also meters an approximate AVM opcode budget (OpBudget below):
+every expensive op charges its published-cost-class amount, so the
+emitted-verifier tests can catch a budget-busting codegen regression
+offline against the reference's published totals (~145k-261k,
+/root/reference/README.md:27-30).
 
 Usage (tests/test_emitted_verifier.py):
 
     ns = exec_verifier_source(source)
     ok = run_logicsig(ns, proof_blob, publics_blob)
     ok = run_contract_verify(ns, proof_blob, publics_blob)
+    budget.consumed()  # approximate opcodes charged by the run
 """
 
 from __future__ import annotations
@@ -38,6 +48,49 @@ def _idx(i):
         None if i.stop is None else operator.index(i.stop),
         None if i.step is None else operator.index(i.step),
     )
+
+
+class OpBudget:
+    """Approximate AVM opcode-budget meter.
+
+    Charges the AVM cost CLASS of every expensive operation the mock
+    executes (byte math, sha256, ec ops), using the go-algorand langspec
+    cost tiers (byte-math 6-20, sha256 35, ec_add ~10^2, ec_scalar_mul
+    ~2*10^3, ec_pairing_check ~10^4 per pair).  Cheap stack/scratch TEAL
+    opcodes around them are NOT modeled, so totals UNDERSTATE the on-chain
+    figure by the linear program overhead; the value of the meter is
+    regression detection against recorded baselines and the reference's
+    published budgets (/root/reference/README.md:27-30), not exactness.
+    """
+
+    COSTS = {
+        "b_add": 10, "b_sub": 10, "b_mul": 20, "b_divmod": 20, "b_cmp": 1,
+        "b_bitwise": 6, "setbit": 1, "sha256": 35,
+        "ec_add_bn_g1": 125, "ec_add_bls_g1": 205,
+        "ec_mul_bn_g1": 1810, "ec_mul_bls_g1": 2340,
+        # pairing: base for the first pair + increment per extra pair
+        "ec_pair_bn": 8700, "ec_pair_bn_extra": 7400,
+        "ec_pair_bls": 10000, "ec_pair_bls_extra": 8500,
+    }
+
+    def __init__(self):
+        self.total = 0
+        self.by_kind = {}
+
+    def charge(self, kind, times=1):
+        c = self.COSTS[kind] * times
+        self.total += c
+        self.by_kind[kind] = self.by_kind.get(kind, 0) + c
+
+    def reset(self):
+        self.total = 0
+        self.by_kind = {}
+
+    def consumed(self) -> int:
+        return self.total
+
+
+budget = OpBudget()
 
 
 class UInt64(int):
@@ -93,9 +146,11 @@ class Bytes:
         return Bytes(bytes(fn(x, y) for x, y in zip(a, c)))
 
     def __or__(self, o):
+        budget.charge("b_bitwise")
         return self._pairwise(o, operator.or_)
 
     def __xor__(self, o):
+        budget.charge("b_bitwise")
         return self._pairwise(o, operator.xor)
 
     def __eq__(self, o):
@@ -133,43 +188,54 @@ class BigUInt:
         return o.v if isinstance(o, BigUInt) else int(o)
 
     def __add__(self, o):
+        budget.charge("b_add")
         return BigUInt(self.v + self._v(o))
 
     __radd__ = __add__
 
     def __sub__(self, o):
+        budget.charge("b_sub")
         return BigUInt(self.v - self._v(o))
 
     def __rsub__(self, o):
+        budget.charge("b_sub")
         return BigUInt(self._v(o) - self.v)
 
     def __mul__(self, o):
+        budget.charge("b_mul")
         return BigUInt(self.v * self._v(o))
 
     __rmul__ = __mul__
 
     def __mod__(self, o):
+        budget.charge("b_divmod")
         return BigUInt(self.v % self._v(o))
 
     def __floordiv__(self, o):
+        budget.charge("b_divmod")
         return BigUInt(self.v // self._v(o))
 
     def __eq__(self, o):
+        budget.charge("b_cmp")
         return self.v == self._v(o)
 
     def __hash__(self):
         return hash(self.v)
 
     def __lt__(self, o):
+        budget.charge("b_cmp")
         return self.v < self._v(o)
 
     def __le__(self, o):
+        budget.charge("b_cmp")
         return self.v <= self._v(o)
 
     def __gt__(self, o):
+        budget.charge("b_cmp")
         return self.v > self._v(o)
 
     def __ge__(self, o):
+        budget.charge("b_cmp")
         return self.v >= self._v(o)
 
     def __index__(self):
@@ -334,6 +400,7 @@ def bzero(n):
 
 
 def sha256(x):
+    budget.charge("sha256")
     return Bytes(hashlib.sha256(
         x.b if isinstance(x, Bytes) else bytes(x)
     ).digest())
@@ -341,6 +408,7 @@ def sha256(x):
 
 def setbit_bytes(b, i, v):
     """AVM setbit on byte arrays: bit 0 is the MSB of the first byte."""
+    budget.charge("setbit")
     raw = bytearray(b.b if isinstance(b, Bytes) else bytes(b))
     i = operator.index(i)
     byte, bit = divmod(i, 8)
@@ -380,6 +448,9 @@ def _encode_g1(group, p):
 class EllipticCurve:
     @staticmethod
     def scalar_mul(group, point, scalar):
+        budget.charge(
+            "ec_mul_bn_g1" if group == EC.BN254g1 else "ec_mul_bls_g1"
+        )
         curve = _CURVE[group]
         F = hfp.GF(curve.fp.modulus)
         k = int.from_bytes(
@@ -389,6 +460,9 @@ class EllipticCurve:
 
     @staticmethod
     def add(group, a, b):
+        budget.charge(
+            "ec_add_bn_g1" if group == EC.BN254g1 else "ec_add_bls_g1"
+        )
         curve = _CURVE[group]
         F = hfp.GF(curve.fp.modulus)
         return _encode_g1(
@@ -404,6 +478,12 @@ class EllipticCurve:
         assert len(raw1) % (2 * nb) == 0 and len(raw2) % (4 * nb) == 0
         n = len(raw1) // (2 * nb)
         assert len(raw2) // (4 * nb) == n
+        bn = group == EC.BN254g1
+        budget.charge("ec_pair_bn" if bn else "ec_pair_bls")
+        if n > 1:
+            budget.charge(
+                "ec_pair_bn_extra" if bn else "ec_pair_bls_extra", n - 1
+            )
         pairs = []
         for i in range(n):
             P = _decode_g1(group, raw1[i * 2 * nb : (i + 1) * 2 * nb])

@@ -97,6 +97,11 @@ class Prover:
         else:
             self._rand = lambda r: rng.randrange(r)
         self.curve = pk.curve
+        # repeat proves of a circuit size skip the minutes-long jits
+        # (no-op on CPU, where cache deserialization is broken — see module)
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.f = field_ops(self.curve.fr)
         self.msm = msm_ctx(self.curve)
         self.plan = ntt_plan(self.curve.name, pk.log_n)
@@ -118,6 +123,8 @@ class Prover:
         zh_pat = [(gn * pow(w4n, i, r) - 1) % r for i in range(4)]
         inv_pat = [pow(v, -1, r) for v in zh_pat]
         # Z_H on the 4n coset is 4-periodic: store the patterns, tile at use
+        self.zh_pat_ints = zh_pat
+        self.inv_zh_pat_ints = inv_pat
         self.zh_pattern = self._enc(zh_pat)
         self.inv_zh_pattern = self._enc(inv_pat)
         self._bsb = []  # per-proof BSB22 state, filled by bsb_solver
@@ -216,6 +223,232 @@ class Prover:
         com = self._commit(c_c)
         self._bsb.append({"com": com, "c_c": c_c, "info": info})
         return hash_fr_bsb22(self.curve, self.tr.point(com))
+
+    # -------------------------------------------------------- round 3 paths
+
+    def _use_lm_quotient(self) -> bool:
+        """Choose the limbs-major scrambled four-step quotient path.
+
+        Batch-major [4n, L] arrays physically pad L -> 128 on TPU (5.8x),
+        which is what OOM'd the 2^20 prove in round 3; the limbs-major path
+        keeps physical ~= logical and runs the coset transforms as fused
+        Pallas stage kernels (ops/ntt_pallas.py).  The XLA path remains for
+        small circuits (its per-op dispatch is cheaper than Mosaic compiles
+        at tiny n) and for CPU tests.  Force with AP_QUOTIENT_LM=0/1."""
+        import jax
+        import os
+
+        forced = os.environ.get("AP_QUOTIENT_LM", "")
+        if forced in ("0", "1"):
+            return forced == "1"
+        min_log = int(os.environ.get("AP_NTT_LM_MIN_LOG", "19"))
+        return (
+            self.pk.log_n + 2 >= min_log
+            and self.mesh is None
+            and jax.default_backend() == "tpu"
+        )
+
+    def _quotient_xla(self, l_c, r_c, o_c, z_c, qk_c_complete, bsb,
+                      beta, gamma, alpha):
+        """Round-3 quotient, batch-major XLA path: returns (h0_c, h1_c,
+        h2_c) coefficient slices [n+2, L]."""
+        f, r, n, pk = self.f, self.r, self.pk.n, self.pk
+        plan4 = self.plan4
+        k1 = self.curve.coset_shift
+        k2 = k1 * k1 % r
+        beta_l = self._const(beta)
+        gamma_l = self._const(gamma)
+        g = self.coset_g
+        N4 = 4 * n
+
+        def lift(coeffs):
+            return plan4.coset_ntt(_pad_to(coeffs, N4), g)
+
+        # HBM discipline (2^20 on a 16 GB chip OOM'd the all-at-once form:
+        # 15 lifted polynomials at [4n, L] are ~370 MB each): lift each
+        # selector just in time, accumulate, and drop the reference so the
+        # buffer frees before the next lift.  Live set stays ~6 coset-wide
+        # arrays plus NTT transients.
+        l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
+
+        gate = f.mul(lift(pk.ql_c), l4)
+        gate = f.add(gate, f.mul(lift(pk.qr_c), r4))
+        gate = f.add(gate, f.mul(lift(pk.qm_c), f.mul(l4, r4)))
+        gate = f.add(gate, f.mul(lift(pk.qo_c), o4))
+        gate = f.add(gate, lift(qk_c_complete))
+        for i, b in enumerate(bsb):
+            gate = f.add(gate, f.mul(lift(pk.qcp_c[i]), lift(b["c_c"])))
+
+        xs = f.mul(
+            polyops.powers(f, self._const(self.w4), N4),
+            jnp.broadcast_to(self._const(g), (N4, f.L)),
+        )
+        bl = jnp.broadcast_to(beta_l, xs.shape)
+        gl = jnp.broadcast_to(gamma_l, xs.shape)
+        bxs = f.mul(bl, xs)
+        A = f.add(f.add(l4, bxs), gl)
+        A = f.mul(A, f.add(
+            f.add(r4, f.mul(bxs, jnp.broadcast_to(self._const(k1), xs.shape))),
+            gl,
+        ))
+        A = f.mul(A, f.add(
+            f.add(o4, f.mul(bxs, jnp.broadcast_to(self._const(k2), xs.shape))),
+            gl,
+        ))
+        del bxs
+        z4 = lift(z_c)
+        ones = jnp.broadcast_to(f.one, xs.shape).astype(jnp.int32)
+        z4m1 = f.sub(z4, ones)
+        perm = f.mul(A, z4)
+        del A, z4
+
+        D = f.add(f.add(l4, f.mul(bl, lift(pk.s1_c))), gl)
+        D = f.mul(D, f.add(f.add(r4, f.mul(bl, lift(pk.s2_c))), gl))
+        D = f.mul(D, f.add(f.add(o4, f.mul(bl, lift(pk.s3_c))), gl))
+        del l4, r4, o4, bl, gl
+        # z(omega X): scale coefficients by omega^i
+        zw_c = f.mul(
+            z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
+        )
+        perm = f.sub(f.mul(D, lift(zw_c)), perm)
+        del D, zw_c
+
+        # L1 on the coset: (x^n - 1) / (n (x - 1)); Z_H values are a
+        # 4-periodic pattern, tiled transiently (materializing them as
+        # persistent [4n] state costs 2 x 370 MB at 2^20)
+        zh_tiled = jnp.tile(self.zh_pattern, (n, 1))
+        inv_zh_tiled = jnp.tile(self.inv_zh_pattern, (n, 1))
+        # chunked batch inversion: the Montgomery trick is independent per
+        # chunk; 4 chunks of n quarter the scan's transient [4n] buffers
+        nconst = jnp.broadcast_to(self._const(n), (n, f.L))
+        inv_parts = []
+        for q in range(4):
+            den_q = f.mul(
+                f.sub(xs[q * n : (q + 1) * n], ones[:n]), nconst
+            )
+            inv_parts.append(polyops.batch_inverse(f, den_q))
+        L1 = f.mul(zh_tiled, jnp.concatenate(inv_parts, axis=0))
+        del inv_parts, nconst, zh_tiled
+
+        alpha_l = self._const(alpha)
+        alpha2_l = self._const(alpha * alpha % r)
+        num_total = f.add(
+            gate,
+            f.add(
+                f.mul(jnp.broadcast_to(alpha_l, perm.shape), perm),
+                f.mul(
+                    jnp.broadcast_to(alpha2_l, L1.shape),
+                    f.mul(L1, z4m1),
+                ),
+            ),
+        )
+        del gate, perm, L1, z4m1, xs, ones
+        h_ev = f.mul(num_total, inv_zh_tiled)
+        del num_total, inv_zh_tiled
+        h_c = plan4.coset_intt(h_ev, g)
+        del h_ev
+
+        m = n + 2
+        return h_c[:m], h_c[m : 2 * m], h_c[2 * m : 3 * m]
+
+    def _quotient_lm(self, l_c, r_c, o_c, z_c, qk_c_complete, bsb,
+                     beta, gamma, alpha):
+        """Round-3 quotient, limbs-major scrambled four-step path.
+
+        Same math as _quotient_xla; every [4n]-wide array is limbs-major
+        [L, 4n] (no TPU minor-dim padding) and the coset transforms run the
+        fused Pallas stage kernels (ops/ntt_pallas.py).  Evaluation-space
+        data is in the four-step's scrambled order, which is transparent
+        here because everything between the transforms is pointwise; the
+        order-dependent inputs (coset x values, Z_H patterns) are generated
+        directly in scrambled order.  Exact arithmetic -> bit-identical
+        h polynomials (tests/test_plonk_e2e.py cross-checks)."""
+        from ..ops.ntt_pallas import four_step_plan, lm_ops
+
+        f, r, n, pk = self.f, self.r, self.pk.n, self.pk
+        curve = self.curve
+        lm = lm_ops(curve.fr)
+        fsp = four_step_plan(curve.name, pk.log_n + 2)
+        g = self.coset_g
+        N4 = 4 * n
+        k1 = curve.coset_shift
+        k2 = k1 * k1 % r
+
+        def c1(v):
+            return self._const(v)  # [L] single element
+
+        def to_lm(coeffs):
+            t = jnp.asarray(coeffs).T  # [L, m] — transpose BEFORE padding
+            return jnp.pad(t, ((0, 0), (0, N4 - t.shape[1])))
+
+        def lift(coeffs):
+            return fsp.ntt_scr_lm(to_lm(coeffs), coset_shift=g)
+
+        l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
+        gate = lm.mul(lift(pk.ql_c), l4)
+        gate = lm.mul_add(gate, lift(pk.qr_c), r4)
+        gate = lm.mul_add(gate, lift(pk.qm_c), lm.mul(l4, r4))
+        gate = lm.mul_add(gate, lift(pk.qo_c), o4)
+        gate = lm.add(gate, lift(qk_c_complete))
+        for i, b in enumerate(bsb):
+            gate = lm.mul_add(gate, lift(pk.qcp_c[i]), lift(b["c_c"]))
+
+        xs = fsp.coset_x_scr(g)                    # [L, 4n], scrambled
+        bxs = lm.mul_const(xs, c1(beta))
+        gamma_l = c1(gamma)
+        A = lm.add2(l4, bxs, gamma_l)
+        A = lm.mul(A, lm.add2(r4, lm.mul_const(bxs, c1(k1)), gamma_l))
+        A = lm.mul(A, lm.add2(o4, lm.mul_const(bxs, c1(k2)), gamma_l))
+        del bxs
+        z4 = lift(z_c)
+        z4m1 = lm.sub_one(z4)
+        perm = lm.mul(A, z4)
+        del A, z4
+
+        D = lm.add2(l4, lm.mul_const(lift(pk.s1_c), c1(beta)), gamma_l)
+        D = lm.mul(
+            D, lm.add2(r4, lm.mul_const(lift(pk.s2_c), c1(beta)), gamma_l)
+        )
+        D = lm.mul(
+            D, lm.add2(o4, lm.mul_const(lift(pk.s3_c), c1(beta)), gamma_l)
+        )
+        del l4, r4, o4
+        zw_c = f.mul(
+            z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
+        )
+        perm = lm.sub(lm.mul(D, lift(zw_c)), perm)
+        del D, zw_c
+
+        zh_tiled = fsp.tile_by_k_mod4(self.zh_pat_ints)
+        inv_zh_tiled = fsp.tile_by_k_mod4(self.inv_zh_pat_ints)
+        n_l = c1(n)
+        inv_parts = []
+        for q in range(4):
+            den_lm = lm.mul_const(
+                lm.sub_one(xs[:, q * n : (q + 1) * n]), n_l
+            )
+            # batch inversion stays batch-major per n-chunk (blocked scans)
+            inv_parts.append(polyops.batch_inverse(f, den_lm.T).T)
+        L1 = lm.mul(zh_tiled, jnp.concatenate(inv_parts, axis=1))
+        del inv_parts, zh_tiled
+
+        num_total = lm.add(
+            gate,
+            lm.add(
+                lm.mul_const(perm, c1(alpha)),
+                lm.mul_const(lm.mul(L1, z4m1), c1(alpha * alpha % r)),
+            ),
+        )
+        del gate, perm, L1, z4m1, xs
+        h_ev = lm.mul(num_total, inv_zh_tiled)
+        del num_total, inv_zh_tiled
+        h_c = fsp.intt_scr_lm(h_ev, coset_shift=g)  # [L, 4n] natural coeffs
+        del h_ev
+
+        m = n + 2
+        return (
+            h_c[:, :m].T, h_c[:, m : 2 * m].T, h_c[:, 2 * m : 3 * m].T
+        )
 
     # ----------------------------------------------------------------- prove
 
@@ -321,98 +554,14 @@ class Prover:
         qk_ev_complete = self._enc(qk_complete_ints)
         qk_c_complete = plan.intt(qk_ev_complete)
 
-        g = self.coset_g
-        N4 = 4 * n
-
-        def lift(coeffs):
-            return plan4.coset_ntt(_pad_to(coeffs, N4), g)
-
-        # HBM discipline (2^20 on a 16 GB chip OOM'd the all-at-once form:
-        # 15 lifted polynomials at [4n, L] are ~370 MB each): lift each
-        # selector just in time, accumulate, and drop the reference so the
-        # buffer frees before the next lift.  Live set stays ~6 coset-wide
-        # arrays plus NTT transients.
-        l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
-
-        gate = f.mul(lift(pk.ql_c), l4)
-        gate = f.add(gate, f.mul(lift(pk.qr_c), r4))
-        gate = f.add(gate, f.mul(lift(pk.qm_c), f.mul(l4, r4)))
-        gate = f.add(gate, f.mul(lift(pk.qo_c), o4))
-        gate = f.add(gate, lift(qk_c_complete))
-        for i, b in enumerate(bsb):
-            gate = f.add(gate, f.mul(lift(pk.qcp_c[i]), lift(b["c_c"])))
-
-        xs = f.mul(
-            polyops.powers(f, self._const(self.w4), N4),
-            jnp.broadcast_to(self._const(g), (N4, f.L)),
-        )
-        bl = jnp.broadcast_to(beta_l, xs.shape)
-        gl = jnp.broadcast_to(gamma_l, xs.shape)
-        bxs = f.mul(bl, xs)
-        A = f.add(f.add(l4, bxs), gl)
-        A = f.mul(A, f.add(
-            f.add(r4, f.mul(bxs, jnp.broadcast_to(self._const(k1), xs.shape))),
-            gl,
-        ))
-        A = f.mul(A, f.add(
-            f.add(o4, f.mul(bxs, jnp.broadcast_to(self._const(k2), xs.shape))),
-            gl,
-        ))
-        del bxs
-        z4 = lift(z_c)
-        ones = jnp.broadcast_to(f.one, xs.shape).astype(jnp.int32)
-        z4m1 = f.sub(z4, ones)
-        perm = f.mul(A, z4)
-        del A, z4
-
-        D = f.add(f.add(l4, f.mul(bl, lift(pk.s1_c))), gl)
-        D = f.mul(D, f.add(f.add(r4, f.mul(bl, lift(pk.s2_c))), gl))
-        D = f.mul(D, f.add(f.add(o4, f.mul(bl, lift(pk.s3_c))), gl))
-        del l4, r4, o4, bl, gl
-        # z(omega X): scale coefficients by omega^i
-        zw_c = f.mul(
-            z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
-        )
-        perm = f.sub(f.mul(D, lift(zw_c)), perm)
-        del D, zw_c
-
-        # L1 on the coset: (x^n - 1) / (n (x - 1)); Z_H values are a
-        # 4-periodic pattern, tiled transiently (materializing them as
-        # persistent [4n] state costs 2 x 370 MB at 2^20)
-        zh_tiled = jnp.tile(self.zh_pattern, (n, 1))
-        inv_zh_tiled = jnp.tile(self.inv_zh_pattern, (n, 1))
-        # chunked batch inversion: the Montgomery trick is independent per
-        # chunk; 4 chunks of n quarter the scan's transient [4n] buffers
-        nconst = jnp.broadcast_to(self._const(n), (n, f.L))
-        inv_parts = []
-        for q in range(4):
-            den_q = f.mul(
-                f.sub(xs[q * n : (q + 1) * n], ones[:n]), nconst
+        if self._use_lm_quotient():
+            h0_c, h1_c, h2_c = self._quotient_lm(
+                l_c, r_c, o_c, z_c, qk_c_complete, bsb, beta, gamma, alpha
             )
-            inv_parts.append(polyops.batch_inverse(f, den_q))
-        L1 = f.mul(zh_tiled, jnp.concatenate(inv_parts, axis=0))
-        del inv_parts, nconst, zh_tiled
-
-        alpha_l = self._const(alpha)
-        alpha2_l = self._const(alpha * alpha % r)
-        num_total = f.add(
-            gate,
-            f.add(
-                f.mul(jnp.broadcast_to(alpha_l, perm.shape), perm),
-                f.mul(
-                    jnp.broadcast_to(alpha2_l, L1.shape),
-                    f.mul(L1, z4m1),
-                ),
-            ),
-        )
-        del gate, perm, L1, z4m1, xs, ones
-        h_ev = f.mul(num_total, inv_zh_tiled)
-        del num_total, inv_zh_tiled
-        h_c = plan4.coset_intt(h_ev, g)
-        del h_ev
-
-        m = n + 2
-        h0_c, h1_c, h2_c = h_c[:m], h_c[m : 2 * m], h_c[2 * m : 3 * m]
+        else:
+            h0_c, h1_c, h2_c = self._quotient_xla(
+                l_c, r_c, o_c, z_c, qk_c_complete, bsb, beta, gamma, alpha
+            )
         h0 = self._commit(h0_c)
         h1 = self._commit(h1_c)
         h2 = self._commit(h2_c)
@@ -434,6 +583,7 @@ class Prover:
         zw_z = vals[-1]
 
         # ---- linearization polynomial
+        m = n + 2
         zh_z = (pow(zeta, n, r) - 1) % r
         l1_z = zh_z * pow(n * (zeta - 1) % r, -1, r) % r
         pi = 0
