@@ -18,7 +18,13 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from .fields.params import BLS12_381, BN254, CurveParams
+from .fields.params import (
+    BLS12_381,
+    BN254,
+    CurveParams,
+    gnark_compat_enabled,
+    set_gnark_compat,
+)
 from .frontend.api import (
     Circuit,
     CompiledConstraintSystem,
@@ -46,6 +52,8 @@ __all__ = [
     "VerifiedProof",
     "compile",
     "test_only_setup",
+    "set_gnark_compat",
+    "gnark_compat_enabled",
 ]
 
 

@@ -127,14 +127,86 @@ class CurveParams:
     cofactor_g1: int
     # Fr multiplicative domain data
     two_adicity: int
-    # generator of the 2^two_adicity roots of unity subgroup of Fr
-    root_of_unity: int
+    # generator of the 2^two_adicity roots of unity subgroup of Fr — two
+    # derivations (see set_gnark_compat): "native" picks the smallest
+    # quadratic non-residue; "gnark" raises gnark-crypto's documented
+    # multiplicative generator of Fr* (5 for BN254, 7 for BLS12-381) to
+    # (r-1)/2^s.  For BN254 the two coincide (the smallest QNR IS 5).
+    native_root_of_unity: int
+    gnark_root_of_unity: int
     # coset shift k1 used by the PLONK permutation argument (k2 = k1^2);
     # free protocol choice, baked into our vk and generated verifiers.
-    coset_shift: int
+    # gnark uses its Fr multiplicative generator (5 / 7).
+    native_coset_shift: int
+    gnark_coset_shift: int
     # compressed-point flag convention: "msb2" (BN254 gnark style) or
     # "zcash" (BLS12-381 0x80/0x40/0x20 style) — see host/serialize.py
     flag_style: str
+
+    @property
+    def root_of_unity(self) -> int:
+        return (
+            self.gnark_root_of_unity if _GNARK_COMPAT[0]
+            else self.native_root_of_unity
+        )
+
+    @property
+    def coset_shift(self) -> int:
+        return (
+            self.gnark_coset_shift if _GNARK_COMPAT[0]
+            else self.native_coset_shift
+        )
+
+
+# --------------------------------------------------------------------------
+# gnark-constants compatibility mode.
+#
+# The protocol-free constants (domain root of unity, PLONK coset shift, MiMC
+# round constants — host/mimc.py) default to self-consistent derivations that
+# differ from gnark's for BLS12-381 and for MiMC.  set_gnark_compat(True)
+# switches every derived constant to gnark's documented, offline-reproducible
+# rules so circuits/proofs interoperate with gnark-built artifacts
+# (reference: /root/reference/examples/merkle/logicsigVerifier/main.go:34-61
+# hashes with gnark's MiMC; templates bake VK_OMEGA / VK_COSET_SHIFT from
+# gnark's fft domain, /root/reference/verifier/templateLogicSigBN254.go:56-68).
+#
+# Call it BEFORE compiling circuits or constructing provers: it clears the
+# derived-constant caches (NTT plans, MiMC tables), but objects built earlier
+# (compiled circuits, pk/vk, Prover instances) keep the constants they were
+# built with.
+# --------------------------------------------------------------------------
+
+_GNARK_COMPAT = [False]
+
+# gnark-crypto's Fr multiplicative generators (fft domain FrMultiplicativeGen)
+GNARK_FR_GENERATOR = {"bn254": 5, "bls12_381": 7}
+
+
+def set_gnark_compat(enabled: bool = True) -> None:
+    enabled = bool(enabled)
+    if enabled == _GNARK_COMPAT[0]:
+        return
+    _GNARK_COMPAT[0] = enabled
+    _clear_derived_caches()
+
+
+def gnark_compat_enabled() -> bool:
+    return _GNARK_COMPAT[0]
+
+
+def _clear_derived_caches() -> None:
+    import sys
+
+    domain_generator.cache_clear()
+    for modname, attrs in (
+        ("algoplonk_tpu.ops.ntt", ("ntt_plan",)),
+        ("algoplonk_tpu.ops.ntt_pallas", ("four_step_plan",)),
+        ("algoplonk_tpu.host.mimc", ("round_constants",)),
+    ):
+        m = sys.modules.get(modname)
+        if m is not None:
+            for a in attrs:
+                getattr(m, a).cache_clear()
 
 
 def _find_two_adic_root(r_mod: int, two_adicity: int) -> int:
@@ -183,8 +255,14 @@ BN254 = CurveParams(
     ),
     cofactor_g1=1,
     two_adicity=_BN254_TWO_ADICITY,
-    root_of_unity=_find_two_adic_root(BN254_R, _BN254_TWO_ADICITY),
-    coset_shift=5,
+    native_root_of_unity=_find_two_adic_root(BN254_R, _BN254_TWO_ADICITY),
+    # == native (smallest QNR = gnark's generator = 5); value equals the
+    # published BN254 2^28 root 191032190679217139442913928276920700361...
+    gnark_root_of_unity=pow(
+        GNARK_FR_GENERATOR["bn254"], (BN254_R - 1) >> _BN254_TWO_ADICITY, BN254_R
+    ),
+    native_coset_shift=5,
+    gnark_coset_shift=GNARK_FR_GENERATOR["bn254"],
     flag_style="msb2",
 )
 
@@ -233,8 +311,16 @@ BLS12_381 = CurveParams(
     ),
     cofactor_g1=0xD201000000010001,
     two_adicity=_BLS_TWO_ADICITY,
-    root_of_unity=_find_two_adic_root(BLS12_381_R, _BLS_TWO_ADICITY),
-    coset_shift=5,
+    native_root_of_unity=_find_two_adic_root(BLS12_381_R, _BLS_TWO_ADICITY),
+    # gnark/zkcrypto use generator 7; the resulting 2^32 root is the
+    # published 0x16a2a19edfe81f20d09b681922c813b4b63683508c2280b93829971f439f0d2b
+    gnark_root_of_unity=pow(
+        GNARK_FR_GENERATOR["bls12_381"],
+        (BLS12_381_R - 1) >> _BLS_TWO_ADICITY,
+        BLS12_381_R,
+    ),
+    native_coset_shift=5,
+    gnark_coset_shift=GNARK_FR_GENERATOR["bls12_381"],
     flag_style="zcash",
 )
 

@@ -13,9 +13,15 @@ Spec (deterministic, self-contained):
 * multi-block hashing in Miyaguchi-Preneel mode like gnark's fr.MiMC:
   h <- E_h(m) + h + m.
 
-Note: round constants intentionally differ from gnark's (we do not copy its
-generated tables); circuits and host hashes are consistent with each other,
-which is what on-chain verification requires.
+Default-mode round constants intentionally differ from gnark's (we do not
+copy its generated tables); circuits and host hashes are consistent with
+each other, which is what on-chain verification requires.
+
+gnark-compat mode (fields.params.set_gnark_compat): constants re-derived by
+gnark-crypto's documented rule — an iterated legacy-Keccak-256 chain over the
+public seed string "seed", each digest taken big-endian mod r (gnark-crypto
+ecc/*/fr/mimc initConstants; same 110-round x^5 permutation and
+Miyaguchi-Preneel chaining as the default mode).
 """
 
 from __future__ import annotations
@@ -23,20 +29,39 @@ from __future__ import annotations
 import functools
 import hashlib
 
-from ..fields.params import CurveParams
+from ..fields.params import CurveParams, gnark_compat_enabled
 
 ROUNDS = 110
 EXPONENT = 5
+GNARK_SEED = b"seed"
 
 
 @functools.lru_cache(maxsize=None)
 def round_constants(curve_name: str, r: int) -> tuple:
     assert r % EXPONENT != 1, "x^5 must be a permutation of Fr"
+    if gnark_compat_enabled():
+        return _gnark_round_constants(r)
     cs = [0]
     seed = hashlib.sha256(f"algoplonk-tpu.mimc.{curve_name}".encode()).digest()
     for _ in range(ROUNDS - 1):
         seed = hashlib.sha256(seed).digest()
         cs.append(int.from_bytes(seed, "big") % r)
+    return tuple(cs)
+
+
+@functools.lru_cache(maxsize=None)
+def _gnark_round_constants(r: int) -> tuple:
+    """c_i = Keccak256^(i+2)("seed") mod r, i = 0..109.
+
+    Mirrors gnark-crypto's initConstants: one pre-hash of the seed, then each
+    round constant is the Keccak of the previous digest."""
+    from .keccak import keccak256
+
+    rnd = keccak256(GNARK_SEED)  # pre-hash before use
+    cs = []
+    for _ in range(ROUNDS):
+        rnd = keccak256(rnd)
+        cs.append(int.from_bytes(rnd, "big") % r)
     return tuple(cs)
 
 
