@@ -88,6 +88,12 @@ class Prover:
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self._sharded_msm_cache = {}
+        # mesh NTTs: the quotient phase's coset transforms and the round-1/2
+        # iNTTs run the four-step all_to_all NTT (parallel/ntt_sharded.py)
+        # whenever the size shards evenly, splitting the HBM peak (the [4n]
+        # coset arrays) across chips, not just the MSM flops
+        self._sh_ntt_cache = {}
+        self.sharded_ntt_hits = 0
         if rng is None:
             import secrets
 
@@ -189,6 +195,57 @@ class Prover:
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
 
+    def _sharded_transform(self, vec, log_sz: int, inverse: bool,
+                           coset_shift: int | None):
+        """Run one (i)NTT of size 2^log_sz over the mesh, or return None if
+        the four-step factors don't shard evenly over the mesh axis.
+
+        ``vec``: flat [m, L] limb array (coefficients for forward, natural-
+        order evaluations for inverse), zero-padded to the transform size.
+        Relayouts to/from the four-step [n2, n1] matrix convention are plain
+        reshapes+transposes (under GSPMD these lower to all_to_alls when the
+        operand is sharded).  Output is natural order, [2^log_sz, L]."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.ntt_sharded import sharded_ntt_fn
+
+        n = 1 << log_sz
+        ndev = self.mesh.shape[self.mesh_axis]
+        n1 = 1 << (log_sz // 2)
+        n2 = n // n1
+        if n1 % ndev or n2 % ndev:
+            return None
+        key = (log_sz, inverse, coset_shift)
+        fn = self._sh_ntt_cache.get(key)
+        if fn is None:
+            fn, _ = sharded_ntt_fn(
+                self.curve.name, self.mesh, self.mesh_axis, log_sz,
+                inverse=inverse, coset_shift=coset_shift,
+            )
+            self._sh_ntt_cache[key] = fn
+        L = self.f.L
+        # flat index j = j1*n2 + j2 -> matrix position [j2, j1] (both the
+        # forward's coefficient input and the inverse's evaluation input use
+        # this convention; outputs are natural row-major — see
+        # parallel/ntt_sharded.py and tests/test_parallel.py roundtrips)
+        x = _pad_to(vec, n).reshape(n1, n2, L).transpose(1, 0, 2)
+        x = jax.device_put(x, NamedSharding(self.mesh, P(self.mesh_axis)))
+        out = fn(x)
+        self.sharded_ntt_hits += 1
+        return out.reshape(n, L)
+
+    def _intt_n(self, ev):
+        """Size-n iNTT: sharded over the mesh when configured (rounds 1-3
+        interpolate every wire/Z/qk vector through here)."""
+        if self.mesh is not None:
+            out = self._sharded_transform(
+                ev, self.pk.log_n, inverse=True, coset_shift=None
+            )
+            if out is not None:
+                return out
+        return self.plan.intt(ev)
+
     def _blind(self, coeffs, nb: int):
         """coeffs + (b_0 + b_1 X + ... ) * (X^n - 1): hides the polynomial's
         evaluations outside H without changing them on H (zero-knowledge,
@@ -219,7 +276,7 @@ class Prover:
         for row, val in zip(info.linking_rows, committed_values):
             c_ev_ints[npub + row] = val % self.r
         c_ev = self._enc(c_ev_ints)
-        c_c = self.plan.intt(c_ev)
+        c_c = self._intt_n(c_ev)
         com = self._commit(c_c)
         self._bsb.append({"com": com, "c_c": c_c, "info": info})
         return hash_fr_bsb22(self.curve, self.tr.point(com))
@@ -262,6 +319,12 @@ class Prover:
         N4 = 4 * n
 
         def lift(coeffs):
+            if self.mesh is not None:
+                out = self._sharded_transform(
+                    coeffs, self.pk.log_n + 2, inverse=False, coset_shift=g
+                )
+                if out is not None:
+                    return out
             return plan4.coset_ntt(_pad_to(coeffs, N4), g)
 
         # HBM discipline (2^20 on a 16 GB chip OOM'd the all-at-once form:
@@ -345,7 +408,13 @@ class Prover:
         del gate, perm, L1, z4m1, xs, ones
         h_ev = f.mul(num_total, inv_zh_tiled)
         del num_total, inv_zh_tiled
-        h_c = plan4.coset_intt(h_ev, g)
+        h_c = None
+        if self.mesh is not None:
+            h_c = self._sharded_transform(
+                h_ev, self.pk.log_n + 2, inverse=True, coset_shift=g
+            )
+        if h_c is None:
+            h_c = plan4.coset_intt(h_ev, g)
         del h_ev
 
         m = n + 2
@@ -493,9 +562,9 @@ class Prover:
         # ---- round 1: wire polynomials + commitments (blinded: + b(X)*Z_H)
         l_ints, r_ints, o_ints = wire_values(self.ccs, witness, n)
         l_ev, r_ev, o_ev = self._enc(l_ints), self._enc(r_ints), self._enc(o_ints)
-        l_c = self._blind(plan.intt(l_ev), 2)
-        r_c = self._blind(plan.intt(r_ev), 2)
-        o_c = self._blind(plan.intt(o_ev), 2)
+        l_c = self._blind(self._intt_n(l_ev), 2)
+        r_c = self._blind(self._intt_n(r_ev), 2)
+        o_c = self._blind(self._intt_n(o_ev), 2)
         l_com = self._commit(l_c)
         r_com = self._commit(r_c)
         o_com = self._commit(o_c)
@@ -531,7 +600,7 @@ class Prover:
         pp = polyops.prefix_products(f, ratio)
         one_row = jnp.broadcast_to(f.one, (1, f.L)).astype(jnp.int32)
         z_ev = jnp.concatenate([one_row, pp[:-1]], axis=0)
-        z_c = self._blind(plan.intt(z_ev), 3)
+        z_c = self._blind(self._intt_n(z_ev), 3)
         z_com = self._commit(z_c)
         # free round-2 working set before the coset phase (HBM peak)
         del num, den, ratio, pp, z_ev, id1, id2, id3, omega_pows
@@ -552,7 +621,7 @@ class Prover:
                 witness.values[info.commitment_var]
             )
         qk_ev_complete = self._enc(qk_complete_ints)
-        qk_c_complete = plan.intt(qk_ev_complete)
+        qk_c_complete = self._intt_n(qk_ev_complete)
 
         if self._use_lm_quotient():
             h0_c, h1_c, h2_c = self._quotient_lm(

@@ -37,9 +37,12 @@ def _bound_xla_state():
     The XLA CPU backend segfaults in backend_compile after ~50 of this
     suite's very large kernel compiles accumulate in one process (observed
     repeatedly at tests/test_kzg_gntt.py in full-suite runs; the same file
-    passes in isolation).  Cross-module cache hits are rare anyway — each
-    module exercises its own shapes."""
+    passes in isolation).  See KNOWN_ISSUES.md for the localization status.
+    Cross-module cache hits are rare anyway — each module exercises its own
+    shapes.  Set AP_TEST_NO_CLEAR=1 to disable (repro experiments)."""
     yield
+    if os.environ.get("AP_TEST_NO_CLEAR") == "1":
+        return
     import gc
 
     jax.clear_caches()
