@@ -783,22 +783,44 @@ class MsmCtx:
             digits = jnp.asarray(scalars)
         assert digits.shape == (num_windows(c), n), (digits.shape, c, n)
 
-        # bucket N so nearby sizes share one compiled pipeline: the prover
-        # commits to polynomials of n, n+1, n+2, n+3 coefficients — without
-        # rounding each would pay its own multi-minute jit through the
-        # compile tunnel.  Infinity-point rows with zero digits are exact
-        # no-ops for the scan (they sort to the zero-run, which the
-        # telescoped sum cancels).
-        step = 1 << max(8, n.bit_length() - 5)
-        n_bucket = -(-n // step) * step
-        pad = n_bucket - n
-        inf_row = jnp.zeros((pad + 1, 2, self.ops.L), jnp.int32)
-        points_pad = jnp.concatenate([points_affine, inf_row], axis=0)
-        if pad:
-            digits = jnp.concatenate(
-                [digits, jnp.zeros((digits.shape[0], pad), jnp.int32)], axis=1
-            )
-        window_sums = self._run_msm_fn(n_bucket, c, points_pad, digits)
+        # Large MSMs run in CHUNKS of at most 2^AP_MSM_CHUNK_LOG points, the
+        # per-window projective sums added across chunks on device.  Two
+        # reasons: (1) one compiled chunk-size pipeline serves every large
+        # commit size (a 2^20-point program would pay its own multi-minute
+        # jit); (2) the pipeline's in-program peak — sorted [N, 2, L] point
+        # copies tile-pad L->128 on TPU — stays bounded at ~1.2 GB instead
+        # of growing past HBM (the 2^20 prove's first commit crashed the
+        # v5e worker without this).
+        chunk = 1 << int(os.environ.get("AP_MSM_CHUNK_LOG", "18"))
+        inf1 = jnp.zeros((1, 2, self.ops.L), jnp.int32)
+
+        def run_piece(pts, digs):
+            """MSM piece over pts [m, 2, L] / digs [nw, m], m-bucketed so
+            nearby sizes share one compiled pipeline (the prover commits to
+            polynomials of n..n+3 coefficients).  Infinity rows with zero
+            digits are exact no-ops for the scan (they sort to the zero-run,
+            which the telescoped sum cancels)."""
+            m = pts.shape[0]
+            step = 1 << max(8, m.bit_length() - 5)
+            m_bucket = min(-(-m // step) * step, chunk)
+            pad = m_bucket - m
+            inf_row = jnp.zeros((pad + 1, 2, self.ops.L), jnp.int32)
+            pts_pad = jnp.concatenate([pts, inf_row], axis=0)
+            if pad:
+                digs = jnp.concatenate(
+                    [digs, jnp.zeros((digs.shape[0], pad), jnp.int32)], axis=1
+                )
+            return self._run_msm_fn(m_bucket, c, pts_pad, digs)
+
+        if n <= chunk:
+            window_sums = run_piece(points_affine, digits)
+        else:
+            total = None
+            for off in range(0, n, chunk):
+                hi = min(off + chunk, n)
+                ws = run_piece(points_affine[off:hi], digits[:, off:hi])
+                total = ws if total is None else self.ops.jac_add(total, ws)
+            window_sums = total
         return self._host_fold(window_sums, c)
 
     def msm(self, points_affine, scalars, kind: str = "auto",

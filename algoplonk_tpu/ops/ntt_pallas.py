@@ -313,6 +313,16 @@ class FourStepPlan:
                        np.int32).T
         )
 
+    def drop_tables(self, inverse: bool | None = None) -> None:
+        """Free the cached [L, n] cross/coset tables for one direction (or
+        all).  At 2^22 each table is ~370 MB of HBM and they are rebuilt on
+        device in ~100 ms at next use — the prover evicts the direction it
+        is NOT about to run so only one direction's tables are ever
+        resident (keeping all four OOM'd the warm 2^20 prove)."""
+        for key in list(self._tables):
+            if inverse is None or key[-1] == inverse:
+                del self._tables[key]
+
     def _cross_table(self, inverse: bool) -> jnp.ndarray:
         """W[a, b] = w^(+-a*brev_{n1}(b)) over [n2 rows, n1 cols] as [L, n]
         (times 1/n when inverse).  Built on device: log2(n1) masked
@@ -415,17 +425,22 @@ class FourStepPlan:
         x = p1(x, cross, exit_) if exit_ is not None else p1(x, cross)
         return jnp.swapaxes(x.reshape(L, n2, n1), 1, 2).reshape(L, self.n)
 
-    def _run(self, kind, x, shift):
+    def _run(self, kind, x, shift, donate=False):
         """Jit per direction; the [L, n] cross/coset tables are built
         EAGERLY (device arrays — lazy construction inside the trace would
         cache tracers in self._tables) and passed as jit ARGUMENTS: closing
         over them would embed two 370 MB constants in the HLO, which the
         remote-compile tunnel rejects (HTTP 413) after minutes of
-        serialization."""
-        fn = self._jits.get(kind)
+        serialization.  ``donate``: donate the data operand's buffer (the
+        caller discards it) — the tables are never donated."""
+        key = (kind, donate)
+        fn = self._jits.get(key)
         if fn is None:
-            fn = jax.jit(self._fwd if kind == "fwd" else self._inv)
-            self._jits[kind] = fn
+            fn = jax.jit(
+                self._fwd if kind == "fwd" else self._inv,
+                donate_argnums=(0,) if donate else (),
+            )
+            self._jits[key] = fn
         if kind == "fwd":
             entry = (
                 self._coset_table(shift, False) if shift is not None else None
@@ -436,14 +451,16 @@ class FourStepPlan:
         )
         return fn(x, self._cross_table(True), exit_)
 
-    def ntt_scr_lm(self, coeffs_lm, coset_shift: int | None = None):
+    def ntt_scr_lm(self, coeffs_lm, coset_shift: int | None = None,
+                   donate: bool = False):
         """[L, n] natural coefficients -> [L, n] scrambled evaluations
         (on the coset shift*H when coset_shift is given)."""
-        return self._run("fwd", coeffs_lm, coset_shift)
+        return self._run("fwd", coeffs_lm, coset_shift, donate)
 
-    def intt_scr_lm(self, evals_scr_lm, coset_shift: int | None = None):
+    def intt_scr_lm(self, evals_scr_lm, coset_shift: int | None = None,
+                    donate: bool = False):
         """[L, n] scrambled evaluations -> [L, n] natural coefficients."""
-        return self._run("inv", evals_scr_lm, coset_shift)
+        return self._run("inv", evals_scr_lm, coset_shift, donate)
 
     # ------------------------------------------------- scrambled-order data
 
@@ -521,10 +538,32 @@ class LmOps:
         self.mul = jax.jit(lambda a, b: bind().mul(a, b))
         self.add = jax.jit(lambda a, b: bind().add(a, b))
         self.sub = jax.jit(lambda a, b: bind().sub(a, b))
-        # fused accumulate: acc + a*b (one round trip instead of two)
+        # donating variants — the quotient phase's [L, 4n] arrays are
+        # ~370 MB each at 2^22, and donation lets XLA write the result into
+        # a dead operand's buffer instead of growing the live set (the
+        # 2^20 prove OOM'd without this).  Callers must not touch a donated
+        # operand afterwards.
+        self.mul_d0 = jax.jit(
+            lambda a, b: bind().mul(a, b), donate_argnums=(0,)
+        )
+        self.sub_d = jax.jit(
+            lambda a, b: bind().sub(a, b), donate_argnums=(0, 1)
+        )
+        self.add_d = jax.jit(
+            lambda a, b: bind().add(a, b), donate_argnums=(0, 1)
+        )
+        self.sub_one_d = jax.jit(lambda x: (
+            lambda f: f.sub(x, jnp.broadcast_to(f.one, x.shape))
+        )(bind()), donate_argnums=(0,))
+        self.mul_const_d0 = jax.jit(lambda a, c: (
+            lambda f: f.mul(a, jnp.broadcast_to(c[:, None], a.shape))
+        )(bind()), donate_argnums=(0,))
+        # fused accumulate: acc + a*b (one round trip instead of two);
+        # donates BOTH the accumulator and `a` (every prover call site
+        # passes a freshly lifted selector as `a`)
         self.mul_add = jax.jit(lambda acc, a, b: (
             lambda f: f.add(acc, f.mul(a, b))
-        )(bind()))
+        )(bind()), donate_argnums=(0, 1))
         # (x + s) + c  with x, s [L, T], c a single element [L]
         self.add2 = jax.jit(lambda x, s, c: (
             lambda f: f.add(

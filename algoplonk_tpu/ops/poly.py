@@ -171,11 +171,49 @@ def poly_eval(f: FieldOps, coeffs, z_limbs):
     return horner_scan(f, coeffs[::-1], z_limbs)[-1]
 
 
+_EVAL_BLOCK_LOG = 16
+_EVAL_SCAN_JITS: dict = {}
+
+
+def _eval_scan_fn(f: FieldOps, k: int, nb: int, B: int):
+    """One cached jit per (field, k, nb, B): scan over coefficient blocks,
+    each step reducing [k, B, L] (bounded transient) into the accumulator."""
+    key = (id(f), k, nb, B)
+    fn = _EVAL_SCAN_JITS.get(key)
+    if fn is not None:
+        return fn
+
+    def run(blocks, pows_b, zb_pows):
+        # blocks [nb, k, B, L]; pows_b [B, L]; zb_pows [nb, L]
+        def body(acc, inp):
+            blk, zbj = inp
+            x = f.mul(blk, jnp.broadcast_to(pows_b[None], blk.shape))
+            while x.shape[1] > 1:
+                h = x.shape[1] // 2
+                x = f.add(x[:, :h], x[:, h:])
+            val = x[:, 0]                       # [k, L]
+            return f.add(acc, f.mul(val, jnp.broadcast_to(zbj[None], val.shape))), None
+
+        acc0 = jnp.zeros((k, f.L), jnp.int32)
+        acc, _ = jax.lax.scan(body, acc0, (blocks, zb_pows))
+        return acc
+
+    fn = jax.jit(run)
+    _EVAL_SCAN_JITS[key] = fn
+    return fn
+
+
 def poly_eval_many(f: FieldOps, coeffs_seq, z_limbs):
     """Evaluate several (ascending-coefficient) polynomials at one point:
     one powers scan + one batched multiply + a log-depth add tree, instead
     of a sequential Horner scan per polynomial (the prover's round 4 paid
     ~1.8 s per evaluation at 2^18 in separate dispatches).  Returns [k, L].
+
+    Above 2^16 coefficients the multiply runs as a lax.scan over blocks:
+    the one-shot form's [k, n, L] transient tile-pads L -> 128 inside the
+    program (~12 GB at k = 6, n = 2^20 — the remote compiler died on it),
+    while the scan body's [k, B, L] peak is a few hundred MB.  Same exact
+    field sums, so results are bit-identical.
     """
     n_max = max(c.shape[0] for c in coeffs_seq)
     n_pad = 1 << (n_max - 1).bit_length() if n_max > 1 else 1
@@ -188,12 +226,22 @@ def poly_eval_many(f: FieldOps, coeffs_seq, z_limbs):
             )
         padded.append(c)
     stack = jnp.stack(padded)                      # [k, n_pad, L]
-    pows = powers(f, z_limbs, n_pad)               # [n_pad, L]
-    x = f.mul(stack, jnp.broadcast_to(pows[None], stack.shape))
-    while x.shape[1] > 1:
-        h = x.shape[1] // 2
-        x = f.add(x[:, :h], x[:, h:])
-    return x[:, 0]
+    k = stack.shape[0]
+    B = 1 << _EVAL_BLOCK_LOG
+    if n_pad <= B:
+        pows = powers(f, z_limbs, n_pad)           # [n_pad, L]
+        x = f.mul(stack, jnp.broadcast_to(pows[None], stack.shape))
+        while x.shape[1] > 1:
+            h = x.shape[1] // 2
+            x = f.add(x[:, :h], x[:, h:])
+        return x[:, 0]
+    nb = n_pad // B
+    blocks = stack.reshape(k, nb, B, L).transpose(1, 0, 2, 3)
+    pows_b1 = powers(f, z_limbs, B + 1)            # z^0 .. z^B
+    pows_b = pows_b1[:B]
+    zb = pows_b1[B]                                # z^B
+    zb_pows = powers(f, zb, nb)                    # [nb, L]
+    return _eval_scan_fn(f, k, nb, B)(blocks, pows_b, zb_pows)
 
 
 def kzg_quotient(f: FieldOps, coeffs, z_limbs):

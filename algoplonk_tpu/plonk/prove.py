@@ -111,7 +111,9 @@ class Prover:
         self.f = field_ops(self.curve.fr)
         self.msm = msm_ctx(self.curve)
         self.plan = ntt_plan(self.curve.name, pk.log_n)
-        self.plan4 = ntt_plan(self.curve.name, pk.log_n + 2)
+        self._plan4 = None  # built lazily: the limbs-major quotient path
+        # never touches it, and its twiddle tables cost ~370 MB of HBM +
+        # host table building at the 4n size (2^22 for the 2^20 prove)
         self.tr = Transcript(self.curve)
         r = self.curve.fr.modulus
         self.r = r
@@ -194,6 +196,12 @@ class Prover:
 
     def _const(self, v: int):
         return self._enc([v % self.r])[0]
+
+    @property
+    def plan4(self):
+        if self._plan4 is None:
+            self._plan4 = ntt_plan(self.curve.name, self.pk.log_n + 2)
+        return self._plan4
 
     def _sharded_transform(self, vec, log_sz: int, inverse: bool,
                            coset_shift: int | None):
@@ -451,67 +459,107 @@ class Prover:
             return jnp.pad(t, ((0, 0), (0, N4 - t.shape[1])))
 
         def lift(coeffs):
-            return fsp.ntt_scr_lm(to_lm(coeffs), coset_shift=g)
+            # donate the padded relayout buffer straight into the transform
+            return fsp.ntt_scr_lm(to_lm(coeffs), coset_shift=g, donate=True)
 
+        # HBM discipline (the 2^20 prove = 2^22-wide coset, ~370 MB per
+        # [L, 4n] int32 array, OOM'd the all-at-once form): donating ops
+        # reuse dead operands' buffers, the public-input inversion runs
+        # while xs is already live (so xs can be freed before z4 lifts),
+        # and z4 - 1 is formed at its single use by donating z4.
+        #
+        # sync(): bound the async in-flight window.  With every program
+        # cache-hot the host enqueues the whole phase at once and the
+        # runtime keeps each enqueued program's operands alive until it
+        # executes — at 2^20 that transient pile-up OOM'd the SECOND
+        # (warm) prove while the compile-throttled first one passed.  A
+        # handful of barriers costs ~nothing (the device is busy anyway).
+        import jax as _jax
+        import os as _os
+
+        # barriers + table eviction cost ~7 s of exposed dispatch gaps and
+        # per-prove table rebuilds at 2^18; only the largest sizes need the
+        # HBM headroom they buy
+        big = self.pk.log_n + 2 >= int(
+            _os.environ.get("AP_QUOTIENT_SYNC_MIN_LOG", "21")
+        )
+
+        def sync(x):
+            if big:
+                _jax.block_until_ready(x)
+            return x
+
+        if big:
+            fsp.drop_tables(inverse=True)  # forward phase first
         l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
-        gate = lm.mul(lift(pk.ql_c), l4)
+        gate = lm.mul_d0(lift(pk.ql_c), l4)
         gate = lm.mul_add(gate, lift(pk.qr_c), r4)
         gate = lm.mul_add(gate, lift(pk.qm_c), lm.mul(l4, r4))
         gate = lm.mul_add(gate, lift(pk.qo_c), o4)
-        gate = lm.add(gate, lift(qk_c_complete))
+        gate = lm.add_d(gate, lift(qk_c_complete))
         for i, b in enumerate(bsb):
             gate = lm.mul_add(gate, lift(pk.qcp_c[i]), lift(b["c_c"]))
+        sync(gate)
 
         xs = fsp.coset_x_scr(g)                    # [L, 4n], scrambled
         bxs = lm.mul_const(xs, c1(beta))
         gamma_l = c1(gamma)
         A = lm.add2(l4, bxs, gamma_l)
-        A = lm.mul(A, lm.add2(r4, lm.mul_const(bxs, c1(k1)), gamma_l))
-        A = lm.mul(A, lm.add2(o4, lm.mul_const(bxs, c1(k2)), gamma_l))
-        del bxs
-        z4 = lift(z_c)
-        z4m1 = lm.sub_one(z4)
-        perm = lm.mul(A, z4)
-        del A, z4
+        A = lm.mul_d0(A, lm.add2(r4, lm.mul_const(bxs, c1(k1)), gamma_l))
+        A = lm.mul_d0(A, lm.add2(o4, lm.mul_const_d0(bxs, c1(k2)), gamma_l))
 
-        D = lm.add2(l4, lm.mul_const(lift(pk.s1_c), c1(beta)), gamma_l)
-        D = lm.mul(
-            D, lm.add2(r4, lm.mul_const(lift(pk.s2_c), c1(beta)), gamma_l)
+        # L1 numerator inversion while xs is live: chunked batch inversion
+        # (independent per chunk); chunks of <= 2^18 bound the batch-major
+        # scan transients, which tile-pad L -> 128 inside the program
+        n_l = c1(n)
+        chunk = min(n, 1 << 18)
+        inv_parts = []
+        for q in range(N4 // chunk):
+            den_lm = lm.mul_const_d0(
+                lm.sub_one(xs[:, q * chunk : (q + 1) * chunk]), n_l
+            )
+            inv_parts.append(polyops.batch_inverse(f, den_lm.T).T)
+        del xs
+        inv_all = sync(jnp.concatenate(inv_parts, axis=1))
+        del inv_parts
+
+        z4 = lift(z_c)
+        perm = lm.mul_d0(A, z4)
+        del A
+
+        D = lm.add2(l4, lm.mul_const_d0(lift(pk.s1_c), c1(beta)), gamma_l)
+        D = lm.mul_d0(
+            D, lm.add2(r4, lm.mul_const_d0(lift(pk.s2_c), c1(beta)), gamma_l)
         )
-        D = lm.mul(
-            D, lm.add2(o4, lm.mul_const(lift(pk.s3_c), c1(beta)), gamma_l)
+        D = lm.mul_d0(
+            D, lm.add2(o4, lm.mul_const_d0(lift(pk.s3_c), c1(beta)), gamma_l)
         )
         del l4, r4, o4
         zw_c = f.mul(
             z_c, polyops.powers(f, self._const(pk.omega), z_c.shape[0])
         )
-        perm = lm.sub(lm.mul(D, lift(zw_c)), perm)
+        perm = sync(lm.sub_d(lm.mul_d0(D, lift(zw_c)), perm))
         del D, zw_c
 
         zh_tiled = fsp.tile_by_k_mod4(self.zh_pat_ints)
         inv_zh_tiled = fsp.tile_by_k_mod4(self.inv_zh_pat_ints)
-        n_l = c1(n)
-        inv_parts = []
-        for q in range(4):
-            den_lm = lm.mul_const(
-                lm.sub_one(xs[:, q * n : (q + 1) * n]), n_l
-            )
-            # batch inversion stays batch-major per n-chunk (blocked scans)
-            inv_parts.append(polyops.batch_inverse(f, den_lm.T).T)
-        L1 = lm.mul(zh_tiled, jnp.concatenate(inv_parts, axis=1))
-        del inv_parts, zh_tiled
+        L1 = lm.mul_d0(lm.mul_d0(zh_tiled, inv_all), lm.sub_one_d(z4))
+        del zh_tiled, inv_all, z4
 
-        num_total = lm.add(
+        num_total = lm.add_d(
             gate,
-            lm.add(
-                lm.mul_const(perm, c1(alpha)),
-                lm.mul_const(lm.mul(L1, z4m1), c1(alpha * alpha % r)),
+            lm.add_d(
+                lm.mul_const_d0(perm, c1(alpha)),
+                lm.mul_const_d0(L1, c1(alpha * alpha % r)),
             ),
         )
-        del gate, perm, L1, z4m1, xs
-        h_ev = lm.mul(num_total, inv_zh_tiled)
+        del gate, perm, L1
+        h_ev = lm.mul_d0(num_total, inv_zh_tiled)
         del num_total, inv_zh_tiled
-        h_c = fsp.intt_scr_lm(h_ev, coset_shift=g)  # [L, 4n] natural coeffs
+        if big:
+            sync(h_ev)
+            fsp.drop_tables(inverse=False)  # done lifting; free fwd tables
+        h_c = sync(fsp.intt_scr_lm(h_ev, coset_shift=g, donate=True))
         del h_ev
 
         m = n + 2
@@ -548,7 +596,6 @@ class Prover:
         pk, f, r, n = self.pk, self.f, self.r, self.pk.n
         curve = self.curve
         vk = pk.vk
-        plan, plan4 = self.plan, self.plan4
         pub = witness.public_values
         bsb = self._bsb
         self._bsb = []

@@ -84,7 +84,20 @@ def test_aff_add_aff(rng, curve):
     assert got == want
 
 
-@pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
+@pytest.mark.parametrize(
+    "curve",
+    # BLS12-381's 381-bit double-and-add chain costs ~1 min of CPU compile;
+    # the add/double formulas it composes are curve-parametrized and stay
+    # default-tier via test_add_double_mixed — demote only the chain test
+    [
+        pytest.param(
+            c,
+            id=c.name,
+            marks=[pytest.mark.slow] if c.name == "bls12_381" else [],
+        )
+        for c in CURVES
+    ],
+)
 def test_scalar_mul(rng, curve):
     ops = curve_ops(curve)
     F = hfp.GF(curve.fp.modulus)

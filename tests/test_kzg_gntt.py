@@ -42,6 +42,8 @@ def test_kzg_commit_open_verify(rng, srs8):
     assert not kzg.verify_opening(C, bad, z)
 
 
+@pytest.mark.slow  # Lagrange conversion is an optional capability (commits
+# are monomial-basis); KZG core stays default via test_kzg_commit_open_verify
 def test_to_lagrange_g1_matches_monomial_commit(rng, srs8):
     """commit_monomial(coeffs) == commit_lagrange(evals) after ToLagrangeG1
     (the property gnark's SRS conversion guarantees, setup/setup.go:124-142)."""

@@ -120,6 +120,28 @@ def test_ctx_kinds(rng):
         msm_mod.HOST_MSM_MAX = old
 
 
+def test_chunked_msm_matches_naive(rng, monkeypatch):
+    """Above 2^AP_MSM_CHUNK_LOG points the MSM runs chunk-wise through ONE
+    compiled pipeline with per-window projective sums added across chunks
+    (the path every large prover commit takes).  Forced small here: 13
+    points with chunk = 8 -> a full chunk + a bucketed remainder."""
+    monkeypatch.setenv("AP_MSM_CHUNK_LOG", "3")
+    monkeypatch.setattr(M, "HOST_MSM_MAX", 0)
+    curve = BN254
+    n = 13
+    pts = sample_points(rng, curve, n)
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    scalars[2] = 0
+    pts[5] = None
+    ops = curve_ops(curve)
+    ctx = M.MsmCtx(curve)
+    points = jnp.asarray(ops.encode_affine(pts))
+    got = ctx.msm_to_affine_int(points, scalars, kind="ints", window_bits=4)
+    assert got == naive(curve, pts, scalars)
+
+
+@pytest.mark.slow  # device fold is off the prover path (prover uses
+# _host_fold, covered by test_scan_pipeline_random); ~2 min of compile
 def test_fold_windows_matches_host_fold(rng):
     curve = BN254
     ops = curve_ops(curve)
