@@ -474,6 +474,26 @@ class FourStepPlan:
                 out[r1 * n2 + r2] = b1 + _brev(r2, self.log_n2) * n1
         return out
 
+    def _x_build_jit(self):
+        """Cached jit for the scrambled-x outer product (a fresh jax.jit
+        per call re-traced every prove — ~350 ms of the quotient phase)."""
+        fn = self._jits.get("xbuild")
+        if fn is None:
+            def build(a, b):
+                f = fvals(self.fr)
+                return f.mul(
+                    jnp.broadcast_to(
+                        a[:, :, None], (self.L, self.n1, self.n2)
+                    ).reshape(self.L, self.n),
+                    jnp.broadcast_to(
+                        b[:, None, :], (self.L, self.n1, self.n2)
+                    ).reshape(self.L, self.n),
+                )
+
+            fn = jax.jit(build)
+            self._jits["xbuild"] = fn
+        return fn
+
     def coset_x_scr(self, shift: int) -> jnp.ndarray:
         """[L, n] of x-values shift * w^k(p) in scrambled storage order —
         separable outer product (no gather)."""
@@ -486,18 +506,7 @@ class FourStepPlan:
             pow(self.omega, self.n1 * _brev(r2, self.log_n2), r)
             for r2 in range(self.n2)
         ]
-        def build(a, b):
-            f = fvals(self.fr)
-            return f.mul(
-                jnp.broadcast_to(
-                    a[:, :, None], (self.L, self.n1, self.n2)
-                ).reshape(self.L, self.n),
-                jnp.broadcast_to(
-                    b[:, None, :], (self.L, self.n1, self.n2)
-                ).reshape(self.L, self.n),
-            )
-
-        return jax.jit(build)(self._mont_lm(rowv), self._mont_lm(colv))
+        return self._x_build_jit()(self._mont_lm(rowv), self._mont_lm(colv))
 
     def tile_by_k_mod4(self, pattern4) -> jnp.ndarray:
         """[L, n] with value pattern4[k(p) mod 4] at scrambled position p.

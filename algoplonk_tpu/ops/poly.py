@@ -108,6 +108,25 @@ def batch_inverse_tree(f: FieldOps, v, stop: int = 256):
     return f.select(is_zero, jnp.zeros_like(v), inv)
 
 
+_TREE_INV_JITS: dict = {}
+
+
+def batch_inverse_tree_jitted(f: FieldOps, v):
+    """batch_inverse_tree under one cached jit per (field, n).
+
+    Eagerly the tree's ~2 log2(n) levels cost a dispatch each (~26 ms on
+    the tunnel); jitted they fuse into one program.  The blocked-scan
+    batch_inverse is latency-bound on its ~sqrt(n) sequential carry steps
+    (~560 ms at 2^18 on v5e); the jitted tree is ~wide-level-count bound.
+    Same exact result (the modular inverse is unique)."""
+    key = (id(f), v.shape)
+    fn = _TREE_INV_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: batch_inverse_tree(f, x))
+        _TREE_INV_JITS[key] = fn
+    return fn(v)
+
+
 def powers(f: FieldOps, x_limbs, n: int):
     """[n, L] table of 1, x, x^2, ..., x^(n-1) (x a single [L] element).
     Internally padded to a power of two to keep the scan blocked."""

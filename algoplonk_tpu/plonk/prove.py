@@ -397,7 +397,7 @@ class Prover:
             den_q = f.mul(
                 f.sub(xs[q * n : (q + 1) * n], ones[:n]), nconst
             )
-            inv_parts.append(polyops.batch_inverse(f, den_q))
+            inv_parts.append(polyops.batch_inverse_tree_jitted(f, den_q))
         L1 = f.mul(zh_tiled, jnp.concatenate(inv_parts, axis=0))
         del inv_parts, nconst, zh_tiled
 
@@ -518,7 +518,7 @@ class Prover:
             den_lm = lm.mul_const_d0(
                 lm.sub_one(xs[:, q * chunk : (q + 1) * chunk]), n_l
             )
-            inv_parts.append(polyops.batch_inverse(f, den_lm.T).T)
+            inv_parts.append(polyops.batch_inverse_tree_jitted(f, den_lm.T).T)
         del xs
         inv_all = sync(jnp.concatenate(inv_parts, axis=1))
         del inv_parts
@@ -643,7 +643,7 @@ class Prover:
             f.mul(lin_term(l_ev, pk.s1_ev), lin_term(r_ev, pk.s2_ev)),
             lin_term(o_ev, pk.s3_ev),
         )
-        ratio = f.mul(num, polyops.batch_inverse(f, den))
+        ratio = f.mul(num, polyops.batch_inverse_tree_jitted(f, den))
         pp = polyops.prefix_products(f, ratio)
         one_row = jnp.broadcast_to(f.one, (1, f.L)).astype(jnp.int32)
         z_ev = jnp.concatenate([one_row, pp[:-1]], axis=0)

@@ -113,10 +113,9 @@ def _check_budget(curve, variant):
     assert 0.35 * ref < used < 1.1 * ref, (name, variant, used)
 
 
-@pytest.mark.parametrize(
-    "key",
-    ["bn254", pytest.param("bls12_381", marks=pytest.mark.slow)],
-)
+@pytest.mark.slow  # extra prove+execute pass; BSB22 proof-layout coverage
+# stays default-tier via tests/test_bsb22.py, plain emitted execution above
+@pytest.mark.parametrize("key", ["bn254", "bls12_381"])
 def test_emitted_bsb22_executes(key):
     """BSB22 path: exercises hash_fr + qcp parsing in the emitted program."""
     curve, setup = CONFIGS[key]

@@ -70,6 +70,8 @@ def test_srs_sizing_rule():
     assert reg.srs_size_for(30, 2) == 32 + 3
 
 
+@pytest.mark.slow  # ~25 s device SRS generation; the same generator is
+# exercised implicitly by every TEST_ONLY compile in the default tier
 def test_test_only_srs_consistency():
     srs = reg.test_only_srs(BN254, 8)
     from algoplonk_tpu.host import fp as hfp
