@@ -200,7 +200,10 @@ def _clear_derived_caches() -> None:
     domain_generator.cache_clear()
     for modname, attrs in (
         ("algoplonk_tpu.ops.ntt", ("ntt_plan",)),
-        ("algoplonk_tpu.ops.ntt_pallas", ("four_step_plan",)),
+        # _stages_kernel bakes twiddles derived from domain_generator but its
+        # cache key omits the compat mode — it must be cleared alongside the
+        # plans or a rebuilt FourStepPlan would reuse stale-mode twiddles.
+        ("algoplonk_tpu.ops.ntt_pallas", ("four_step_plan", "_stages_kernel")),
         ("algoplonk_tpu.host.mimc", ("round_constants",)),
     ):
         m = sys.modules.get(modname)

@@ -157,14 +157,14 @@ def digits_from_mont_limbs(f, mont_limbs, nbytes: int = 32,
     return jnp.stack(out, axis=0)
 
 
-def _gather_signed(ops: CurveOps, points_pad, packed):
+def _gather_signed(ops: CurveOps, pts_flat, packed):
     """Packed member indices -> affine points with the sign applied
     (y -> -y on negative-digit lanes; the infinity row (0,0) is fixed by
-    f.sub(0, 0) = 0)."""
+    f.sub(0, 0) = 0).  ``pts_flat``: [N+1, 2L] row-flattened table."""
     f = ops.f
     rows = packed & _ROW_MASK
     neg = (packed >> SIGN_SHIFT) == 1
-    pts = points_pad[rows]                         # [..., 2, L]
+    pts = pts_flat[rows].reshape(*packed.shape, 2, ops.L)
     y = pts[..., 1, :]
     y = f.select(neg, f.sub(jnp.zeros_like(y), y), y)
     return jnp.concatenate(
@@ -229,27 +229,32 @@ class _Adders:
         )
         return jnp.transpose(out, (1, 2, 0))
 
-    def gather_mixed(self, acc_lm, points_pad, packed):
+    def gather_mixed(self, acc_lm, pts_flat, packed):
         """acc [3, L, W] (+) signed-gathered points table[packed] (packed
         member indices, sign bit SIGN_SHIFT).
 
-        Pallas: raw row gather (fast) + transpose, sign applied in VMEM by
-        the kernel.  XLA: sign applied batch-major (slow, fallback only)."""
+        ``pts_flat``: [N+1, 2L] row-flattened table — contiguous 2L-word
+        rows gather at HBM speed where the [N+1, 2, L] form's tiny minor
+        dims made XLA's gather superlinearly slow (round-5 fix: phase 1 at
+        2^18 was 735 ms, ~640 ms of it the gather; flat rows + a 2D
+        transpose are linear).  Sign applied in VMEM by the kernel."""
         rows = packed & _ROW_MASK
         if self.use_pallas:
-            pts = jnp.transpose(points_pad[rows], (1, 2, 0))  # [2, L, W]
+            w = packed.shape[-1]
+            pts = pts_flat[rows].T.reshape(2, self.ops.L, w)
             neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)[None]
             return self._mixed_signed(acc_lm, pts, neg)
-        return self.mixed(acc_lm, _gather_signed(self.ops, points_pad, packed))
+        return self.mixed(acc_lm, _gather_signed(self.ops, pts_flat, packed))
 
-    def gather_mixed_multi(self, acc_lm, points_pad, packed):
+    def gather_mixed_multi(self, acc_lm, pts_flat, packed):
         """``g`` fused signed gather-adds: packed [g, W] -> acc after adding
         all g gathered point rows in sequence (pallas path only — callers
         keep the fori_loop formulation for XLA)."""
         g, w = packed.shape
-        rows = packed & _ROW_MASK
-        pts = jnp.transpose(points_pad[rows], (0, 2, 3, 1))  # [g, 2, L, W]
-        pts = pts.reshape(2 * g, self.ops.L, w)
+        rows = (packed & _ROW_MASK).reshape(-1)
+        flat = pts_flat[rows]                        # [g*W, 2L] row gather
+        t = flat.T.reshape(2, self.ops.L, g, w)      # [(c,l), (g,w)] split
+        pts = jnp.transpose(t, (2, 0, 1, 3)).reshape(2 * g, self.ops.L, w)
         neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)
         return self._mixed_signed_multi(g)(acc_lm, pts, neg)
 
@@ -271,16 +276,26 @@ def _pad_lanes(n: int) -> int:
 
 def window_sums_scan(
     ops: CurveOps, points_pad, digits, c: int = WINDOW_BITS,
-    k_block: int = 16, use_pallas: bool = False,
+    k_block: int = 16, use_pallas: bool = False, stop_after: str | None = None,
 ):
     """[N+1, 2, L] infinity-padded affine points + [nw, N] signed digits
     (window size c) -> [nw, 3, L] batch-major window sums S_w = sum_d d*B_d.
 
     Fully traceable, all shapes static in N (module docstring has the
     algorithm).  Used by the single-chip MsmCtx and, per shard, by
-    parallel/msm_sharded.py."""
+    parallel/msm_sharded.py.
+
+    ``stop_after`` ('sort' | 'p1' | 'p2' | 'p3'): return the named phase's
+    live output instead of the window sums — profiling hook (bench_kernels
+    attributes per-phase cost by differencing jitted prefixes)."""
     f = ops.f
     n = points_pad.shape[0] - 1
+    # row-flattened table: contiguous 2L-word rows give the 16*nw random
+    # row gathers below an HBM-friendly access pattern (the [N+1, 2, L]
+    # form's (2, L) minor dims forced a layout whose gather cost grew
+    # superlinearly in N — measured 43 ms @2^17 -> 296 ms @2^18 for the
+    # same 7-step gather before this flattening)
+    pts_flat = points_pad.reshape(n + 1, 2 * ops.L)
     nw = digits.shape[0]
     D = 1 << (c - 1)
     K = max(1, min(k_block, n))
@@ -313,6 +328,8 @@ def window_sums_scan(
         )
     # [K, nw, nblk]: member j of each block, contiguous per loop step
     packed_blk = jnp.transpose(packed.reshape(nw, nblk, K), (2, 0, 1))
+    if stop_after == "sort":
+        return smag, packed_blk
 
     # ---- phase 1: in-block reduction -> block sums [3, L, W1p].
     # Pallas: K steps fused into ceil(K/G) multi-step kernels (acc resident
@@ -334,7 +351,7 @@ def window_sums_scan(
         j = 0
         while j < nsteps:
             g = min(g_max, nsteps - j)
-            acc = add.gather_mixed_multi(acc, points_pad, flat[j : j + g])
+            acc = add.gather_mixed_multi(acc, pts_flat, flat[j : j + g])
             j += g
         return acc
 
@@ -347,9 +364,12 @@ def window_sums_scan(
         def p1_body(j, acc):
             idx = packed_blk[j].reshape(w1)
             idx = jnp.concatenate([idx, jnp.full((w1p - w1,), n, jnp.int32)])
-            return add.gather_mixed(acc, points_pad, idx)
+            return add.gather_mixed(acc, pts_flat, idx)
 
         block_sums = jax.lax.fori_loop(0, K, p1_body, add.inf(w1p))
+
+    if stop_after == "p1":
+        return block_sums
 
     # ---- phase 3 target indices (shared by both phase-2 variants)
     dvals = jnp.arange(0, D + 1, dtype=jnp.int32)
@@ -491,6 +511,9 @@ def window_sums_scan(
             rescan = jax.lax.fori_loop(0, S, p2c_body, add.inf(w2p))
         base_lm = add.jac(base_lm, rescan)
 
+    if stop_after == "p2":
+        return base_lm
+
     # ---- phase 3: in-block point rescan up to e_d, then P[e_d]
     # members of the block containing each e_d: [K, nw, D+1]
     blk_members = jnp.take_along_axis(
@@ -511,10 +534,13 @@ def window_sums_scan(
             live = (j <= r) & (e >= 0)             # [nw, D+1]
             idx = jnp.where(live, blk_members[j], n).reshape(w2)
             idx = jnp.concatenate([idx, jnp.full((w2p - w2,), n, jnp.int32)])
-            return add.gather_mixed(acc, points_pad, idx)
+            return add.gather_mixed(acc, pts_flat, idx)
 
         in_block = jax.lax.fori_loop(0, K, p3_body, add.inf(w2p))
     p_e = add.jac(base_lm, in_block)               # [3, L, W2p]
+
+    if stop_after == "p3":
+        return p_e
 
     # ---- phase 4: S_w = D * P[e_D] - sum_{d<D} P[e_d], limbs-major.
     # Tree-sum along d at constant shape: new[j] = old[j] + old[j + D/2^i];
@@ -792,7 +818,6 @@ class MsmCtx:
         # of growing past HBM (the 2^20 prove's first commit crashed the
         # v5e worker without this).
         chunk = 1 << int(os.environ.get("AP_MSM_CHUNK_LOG", "18"))
-        inf1 = jnp.zeros((1, 2, self.ops.L), jnp.int32)
 
         def run_piece(pts, digs):
             """MSM piece over pts [m, 2, L] / digs [nw, m], m-bucketed so

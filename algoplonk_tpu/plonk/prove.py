@@ -103,12 +103,30 @@ class Prover:
         else:
             self._rand = lambda r: rng.randrange(r)
         self.curve = pk.curve
+        # Fail loudly on a compat-mode mismatch: the prover derives its NTT
+        # domains from the CURRENT global mode while pk bakes the mode it was
+        # compiled under (e.g. a pk cached via utils/cache.py in one mode and
+        # loaded in the other).  Mixing the two silently yields proofs that
+        # fail verification.
+        exp_omega = domain_generator(self.curve.name, pk.log_n)
+        if pk.omega != exp_omega or pk.coset_shift != self.curve.coset_shift:
+            from ..fields.params import gnark_compat_enabled
+
+            raise ValueError(
+                "proving key domain constants do not match the current "
+                f"constants mode (gnark_compat={gnark_compat_enabled()}): "
+                f"pk.omega {'==' if pk.omega == exp_omega else '!='} expected, "
+                f"pk.coset_shift={pk.coset_shift} vs {self.curve.coset_shift}. "
+                "Call set_gnark_compat(...) to the mode the circuit was "
+                "compiled under BEFORE constructing the Prover."
+            )
         # repeat proves of a circuit size skip the minutes-long jits
         # (no-op on CPU, where cache deserialization is broken — see module)
         from ..utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
         self.f = field_ops(self.curve.fr)
+        self._mark = lambda name, block_on=None: None  # set by prove()
         self.msm = msm_ctx(self.curve)
         self.plan = ntt_plan(self.curve.name, pk.log_n)
         self._plan4 = None  # built lazily: the limbs-major quotient path
@@ -489,9 +507,11 @@ class Prover:
                 _jax.block_until_ready(x)
             return x
 
+        self._mark("r3.setup(tables)")
         if big:
             fsp.drop_tables(inverse=True)  # forward phase first
         l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
+        self._mark("r3.wire-lifts", o4)
         gate = lm.mul_d0(lift(pk.ql_c), l4)
         gate = lm.mul_add(gate, lift(pk.qr_c), r4)
         gate = lm.mul_add(gate, lift(pk.qm_c), lm.mul(l4, r4))
@@ -500,6 +520,7 @@ class Prover:
         for i, b in enumerate(bsb):
             gate = lm.mul_add(gate, lift(pk.qcp_c[i]), lift(b["c_c"]))
         sync(gate)
+        self._mark("r3.gate(5 lifts+mul)", gate)
 
         xs = fsp.coset_x_scr(g)                    # [L, 4n], scrambled
         bxs = lm.mul_const(xs, c1(beta))
@@ -522,6 +543,7 @@ class Prover:
         del xs
         inv_all = sync(jnp.concatenate(inv_parts, axis=1))
         del inv_parts
+        self._mark("r3.A+inversion", inv_all)
 
         z4 = lift(z_c)
         perm = lm.mul_d0(A, z4)
@@ -540,6 +562,7 @@ class Prover:
         )
         perm = sync(lm.sub_d(lm.mul_d0(D, lift(zw_c)), perm))
         del D, zw_c
+        self._mark("r3.perm(5 lifts)", perm)
 
         zh_tiled = fsp.tile_by_k_mod4(self.zh_pat_ints)
         inv_zh_tiled = fsp.tile_by_k_mod4(self.inv_zh_pat_ints)
@@ -556,11 +579,13 @@ class Prover:
         del gate, perm, L1
         h_ev = lm.mul_d0(num_total, inv_zh_tiled)
         del num_total, inv_zh_tiled
+        self._mark("r3.L1+combine", h_ev)
         if big:
             sync(h_ev)
             fsp.drop_tables(inverse=False)  # done lifting; free fwd tables
         h_c = sync(fsp.intt_scr_lm(h_ev, coset_shift=g, donate=True))
         del h_ev
+        self._mark("r3.4n-iNTT", h_c)
 
         m = n + 2
         return (
@@ -577,21 +602,33 @@ class Prover:
         _prof = _os.environ.get("AP_PROVE_PROFILE", "") == "1"
         _t = [_time.perf_counter()]
 
-        def _mark(name):
+        def _mark(name, block_on=None):
             if _prof:
                 import jax as _jax
 
+                if block_on is not None:
+                    # per-sub-phase attribution is meaningless against the
+                    # async dispatch queue; profile mode drains it at marks
+                    _jax.block_until_ready(block_on)
                 now = _time.perf_counter()
                 mem = ""
                 try:
                     st = _jax.local_devices()[0].memory_stats()
-                    mem = (f"  [hbm {st['bytes_in_use']/2**30:.2f} GiB in use"
-                           f", peak {st.get('peak_bytes_in_use', 0)/2**30:.2f}]")
+                    if st:
+                        mem = (
+                            f"  [hbm {st['bytes_in_use']/2**30:.2f} GiB in "
+                            f"use, peak "
+                            f"{st.get('peak_bytes_in_use', 0)/2**30:.2f}]"
+                        )
                 except Exception:
                     pass
                 print(f"  prove phase {name}: {now - _t[0]:.2f}s{mem}",
                       file=_sys.stderr, flush=True)
                 _t[0] = now
+
+        # sub-phase marks inside _quotient_lm / _quotient_xla (VERDICT r4
+        # item 2: attribute the 2^20 r3 wall-clock)
+        self._mark = _mark
 
         pk, f, r, n = self.pk, self.f, self.r, self.pk.n
         curve = self.curve
@@ -681,6 +718,7 @@ class Prover:
         h0 = self._commit(h0_c)
         h1 = self._commit(h1_c)
         h2 = self._commit(h2_c)
+        _mark("r3.H-commits x3")
 
         _mark("r3 quotient")
         zeta_d, zeta = self.tr.zeta(alpha_d, h0, h1, h2)
