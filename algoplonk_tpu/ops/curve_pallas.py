@@ -354,6 +354,53 @@ def pallas_jac_add_multi(curve: CurveParams, tile: int, steps: int):
 
 
 @functools.lru_cache(maxsize=None)
+def pallas_jac_add_multi_scan(curve: CurveParams, tile: int, steps: int):
+    """Like pallas_jac_add_multi, but emits the accumulator AFTER EVERY
+    step: (acc [3, L, B], qs [steps*3, L, B]) -> [steps*3, L, B] where
+    out[3k:3k+3] = acc (+) qs[0..k].  Inclusive scans of block sums stay in
+    VMEM for the whole pass; MSM phase 2a materializes them so the 2c
+    rescan collapses to one row gather (ops/msm.py round-5 redesign)."""
+    L = curve.fp.nlimbs
+    consts_np = _curve_consts(curve)  # numpy — see pallas_mixed_add
+    mats_np = field_mats(curve.fp)
+    b3_np = np.broadcast_to(consts_np[4][:, None], (L, tile)).copy()
+
+    def kernel(consts_ref, mats_ref, b3_ref, acc_ref, qs_ref, out_ref):
+        f = FieldVals(curve.fp, consts_ref[:], mats_ref[:])
+        b3 = b3_ref[:]
+        acc = (acc_ref[0], acc_ref[1], acc_ref[2])
+        for k in range(steps):
+            q = (qs_ref[3 * k], qs_ref[3 * k + 1], qs_ref[3 * k + 2])
+            acc = _jac_add_body(f, b3, acc, q)
+            out_ref[3 * k], out_ref[3 * k + 1], out_ref[3 * k + 2] = acc
+
+    def run(acc, qs):
+        consts = jnp.asarray(consts_np[:4])
+        mats = jnp.asarray(mats_np, jnp.bfloat16)
+        b3 = jnp.asarray(b3_np)
+        b = acc.shape[-1]
+        assert b % tile == 0, (b, tile)
+        assert qs.shape[0] == 3 * steps
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3 * steps, L, b), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((4, L), lambda i: (0, 0)),
+                pl.BlockSpec((6 * L, L), lambda i: (0, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, 0)),
+                pl.BlockSpec((3, L, tile), lambda i: (0, 0, i)),
+                pl.BlockSpec((3 * steps, L, tile), lambda i: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((3 * steps, L, tile), lambda i: (0, 0, i)),
+            interpret=_interpret(),
+        )(consts, mats, b3, acc, qs)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def pallas_canon(fp: FieldParams, tile: int = 512):
     """Canonicalize lazy limbs-major coordinates: [R, L, B] -> [R, L, B]
     with every element reduced to canonical Montgomery form (< p, limbs

@@ -188,6 +188,7 @@ class _Adders:
                 pallas_canon,
                 pallas_jac_add,
                 pallas_jac_add_multi,
+                pallas_jac_add_multi_scan,
                 pallas_mixed_add,
                 pallas_mixed_add_signed,
                 pallas_mixed_add_signed_multi,
@@ -200,6 +201,9 @@ class _Adders:
                 ops.curve, _TILE, g
             )
             self._jac_multi = lambda g: pallas_jac_add_multi(
+                ops.curve, _TILE, g
+            )
+            self._jac_multi_scan = lambda g: pallas_jac_add_multi_scan(
                 ops.curve, _TILE, g
             )
             self._canon = pallas_canon(ops.curve.fp, _TILE)
@@ -264,6 +268,12 @@ class _Adders:
         g = qs.shape[0] // 3
         return self._jac_multi(g)(acc_lm, qs)
 
+    def jac_multi_scan(self, acc_lm, qs):
+        """``g`` fused projective adds emitting every intermediate:
+        returns [g*3, L, W] inclusive scans (pallas path only)."""
+        g = qs.shape[0] // 3
+        return self._jac_multi_scan(g)(acc_lm, qs)
+
     def canon(self, x_lm):
         """Canonicalize lazy kernel outputs [R, L, W] (pallas path; XLA
         values are already canonical)."""
@@ -310,15 +320,29 @@ def window_sums_scan(
     add = _Adders(ops, use_pallas)
 
     # ---- sort each window by |digit|; pad with (mag > D, index n) entries.
-    # lax.sort carries the packed (sign | index) payload through the sort —
-    # argsort + take_along_axis costs 2 x 32 ms in XLA generic gathers for
-    # what the sort's variadic form does for free.
+    # The (|d|, sign, row) triple packs into ONE int32 key whenever
+    # bits(D) + 1 + bits(n-1) <= 31 (always true under the <= 2^18 chunking)
+    # — a single-operand sort moves half the bytes of the two-operand
+    # key+payload form (measured 35 ms -> ~18 ms at [24, 2^17]).
     mag = jnp.abs(digits)
     rows = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None], (nw, n)
     )
-    payload = rows | ((digits < 0).astype(jnp.int32) << SIGN_SHIFT)
-    smag, packed = jax.lax.sort((mag, payload), dimension=1, num_keys=1)
+    idx_bits = max(1, (n - 1).bit_length())
+    if D.bit_length() + 1 + idx_bits <= 31 and idx_bits <= SIGN_SHIFT:
+        combo = (
+            (mag << (idx_bits + 1))
+            | ((digits < 0).astype(jnp.int32) << idx_bits)
+            | rows
+        )
+        scombo = jax.lax.sort(combo, dimension=1)
+        smag = scombo >> (idx_bits + 1)
+        packed = (scombo & ((1 << idx_bits) - 1)) | (
+            ((scombo >> idx_bits) & 1) << SIGN_SHIFT
+        )
+    else:
+        payload = rows | ((digits < 0).astype(jnp.int32) << SIGN_SHIFT)
+        smag, packed = jax.lax.sort((mag, payload), dimension=1, num_keys=1)
     if n_pad > n:
         smag = jnp.concatenate(
             [smag, jnp.full((nw, n_pad - n), D + 1, jnp.int32)], axis=1
@@ -388,13 +412,15 @@ def window_sums_scan(
     def gather_rows_lm(bm_with_inf, lane, invalid):
         """Rows of a batch-major [R+1, 3, L] table (last row = identity) at
         [nw, D+1] lane ids -> limbs-major [3, L, W2p] (invalid -> identity,
-        as is the W2p padding)."""
-        idx = jnp.where(invalid, bm_with_inf.shape[0] - 1, lane).reshape(w2)
+        as is the W2p padding).  Gathers through the row-flattened [R+1, 3L]
+        view (same superlinear-gather fix as gather_mixed_multi)."""
+        R1 = bm_with_inf.shape[0]
+        idx = jnp.where(invalid, R1 - 1, lane).reshape(w2)
         idx = jnp.concatenate(
-            [idx,
-             jnp.full((w2p - w2,), bm_with_inf.shape[0] - 1, jnp.int32)]
+            [idx, jnp.full((w2p - w2,), R1 - 1, jnp.int32)]
         )
-        return jnp.transpose(bm_with_inf[idx], (1, 2, 0))
+        flat = bm_with_inf.reshape(R1, 3 * ops.L)
+        return flat[idx].T.reshape(3, ops.L, w2p)
 
     inf_row_bm = ops.jac_infinity((1,))
 
@@ -438,12 +464,15 @@ def window_sums_scan(
             ((0, 0), (0, 0), (0, 0), (0, wsbp - wsb)),
         )
 
+        is_scan = None
         if use_pallas:
-            super_sums = add.inf(wsbp)
+            # scan-emitting kernel: besides the super sums, materialize the
+            # inclusive intra-super-block scans — the 2c rescan then
+            # collapses to ONE 264-byte row gather below (was S masked
+            # fused-add steps at w2p lanes, ~15 ms @2^17)
             qs = bs_steps.reshape(S * 3, ops.L, wsbp)
-            for j in range(0, S, fuse):
-                g = min(fuse, S - j)
-                super_sums = add.jac_multi(super_sums, qs[3 * j : 3 * (j + g)])
+            is_scan = add.jac_multi_scan(add.inf(wsbp), qs)
+            super_sums = is_scan[-3:]
         else:
 
             def p2a_body(j, acc):
@@ -466,8 +495,12 @@ def window_sums_scan(
             )
             return add.jac(scan, shifted)
 
+        if stop_after == "p2a":
+            return super_sums
         sb_steps = max(0, (nsb - 1).bit_length())
         super_scan = jax.lax.fori_loop(0, sb_steps, p2b_body, super_sums)
+        if stop_after == "p2b":
+            return super_scan
 
         # base = super_scan[esb_prev - 1] (+) block_sums[esb_prev*S .. prev]
         esb_prev = jnp.where(prev >= 0, prev // S, -1)
@@ -478,30 +511,28 @@ def window_sums_scan(
         lane_ss = w_ids * nsb + jnp.clip(esb_prev - 1, 0, nsb - 1)
         base_lm = gather_rows_lm(ss_bm, lane_ss, esb_prev - 1 < 0)
 
-        bs_bm = jnp.concatenate(
-            [jnp.transpose(block_sums, (2, 0, 1))[:w1], inf_row_bm]
-        )
-        lane_b0 = w_ids * nblk + jnp.clip(esb_prev * S, 0, nblk - 1)
-
         if use_pallas:
-            # one vectorized gather for all S steps, then fused jac adds
-            j_all = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-            invalid_all = (j_all > r2[None]) | (prev[None] < 0)
-            idx_all = jnp.where(
-                invalid_all, bs_bm.shape[0] - 1, lane_b0[None] + j_all
-            ).reshape(S, w2)
-            idx_all = jnp.concatenate(
-                [idx_all,
-                 jnp.full((S, w2p - w2), bs_bm.shape[0] - 1, jnp.int32)],
-                axis=1,
+            # 2c as one gather: base (+) is_scan[r2] at the target's
+            # super-block lane.  Row table [(lane, s), 3L] from one 2D
+            # transpose of the kernel's scan output; identity row appended
+            # for prev < 0 targets.
+            flat_is = is_scan.reshape(S * 3 * ops.L, wsbp).T
+            flat_is = flat_is.reshape(wsbp * S, 3 * ops.L)
+            inf_flat = jnp.transpose(add.inf(1), (2, 0, 1)).reshape(
+                1, 3 * ops.L
             )
-            terms = jnp.transpose(bs_bm[idx_all], (0, 2, 3, 1))  # [S,3,L,W]
-            terms = terms.reshape(S * 3, ops.L, w2p)
-            rescan = add.inf(w2p)
-            for j in range(0, S, fuse):
-                g = min(fuse, S - j)
-                rescan = add.jac_multi(rescan, terms[3 * j : 3 * (j + g)])
+            tbl = jnp.concatenate([flat_is, inf_flat], axis=0)
+            lane_sb = w_ids * nsb + jnp.clip(esb_prev, 0, nsb - 1)
+            idx = jnp.where(prev < 0, wsbp * S, lane_sb * S + r2).reshape(w2)
+            idx = jnp.concatenate(
+                [idx, jnp.full((w2p - w2,), wsbp * S, jnp.int32)]
+            )
+            rescan = tbl[idx].T.reshape(3, ops.L, w2p)
         else:
+            bs_bm = jnp.concatenate(
+                [jnp.transpose(block_sums, (2, 0, 1))[:w1], inf_row_bm]
+            )
+            lane_b0 = w_ids * nblk + jnp.clip(esb_prev * S, 0, nblk - 1)
 
             def p2c_body(j, acc):
                 invalid = (j > r2) | (prev < 0)
@@ -671,30 +702,59 @@ class MsmCtx:
             and jax.default_backend() == "tpu"
         )
 
-    def _msm_fn(self, n: int, c: int, use_pallas: bool):
-        """One closed jit per (N, c, backend path) — static shapes only."""
-        key = (n, c, use_pallas)
+    def _msm_fn(self, m: int, m_bucket: int, c: int, kind: str,
+                use_pallas: bool):
+        """One closed jit per (m, m_bucket, c, scalar kind, backend path).
+
+        The program takes RAW operands — points [m, 2, L] and either
+        Montgomery scalars [m, L] (kind 'mont') or digits [nw, m] — and does
+        everything inside one dispatch: digit recode, padding to m_bucket,
+        the infinity table row, the scan.  Padding outside the jit cost two
+        extra device dispatches per commit (~26 ms each over the remote
+        tunnel, round-5 measurement: 195 ms -> 143 ms at 2^17).  The price
+        is one compile per distinct m within a bucket; the prover only hits
+        m in {n+2, n+3} per circuit size and the persistent cache absorbs
+        repeats."""
+        key = (m, m_bucket, c, kind, use_pallas)
         if key in self._msm_fn_cache:
             return self._msm_fn_cache[key]
         ops = self.ops
         k_block = int(os.environ.get("AP_MSM_K", "16"))
 
-        def fn(points_pad, digits):
+        def fn(pts, scalars):
+            if kind == "mont":
+                from .field import field_ops
+
+                digs = digits_from_mont_limbs(
+                    field_ops(self.curve.fr), scalars, c=c
+                )
+            else:
+                digs = scalars
+            pad = m_bucket - m
+            pts_pad = jnp.concatenate(
+                [pts, jnp.zeros((pad + 1, 2, ops.L), jnp.int32)], axis=0
+            )
+            if pad:
+                digs = jnp.concatenate(
+                    [digs, jnp.zeros((digs.shape[0], pad), jnp.int32)],
+                    axis=1,
+                )
             return window_sums_scan(
-                ops, points_pad, digits, c, k_block, use_pallas
+                ops, pts_pad, digs, c, k_block, use_pallas
             )
 
         jfn = jax.jit(fn)
         self._msm_fn_cache[key] = jfn
         return jfn
 
-    def _run_msm_fn(self, n: int, c: int, points_pad, digits):
+    def _run_msm_fn(self, m: int, m_bucket: int, c: int, kind: str,
+                    pts, scalars):
         """Invoke the jitted pipeline, falling back Pallas -> XLA on any
         compile/lowering failure (jit compiles at first call, so the probe
         and the real call are the same call)."""
         if self._use_pallas():
             try:
-                return self._msm_fn(n, c, True)(points_pad, digits)
+                return self._msm_fn(m, m_bucket, c, kind, True)(pts, scalars)
             except Exception as e:  # Mosaic / libtpu lowering failures
                 import sys
 
@@ -704,7 +764,7 @@ class MsmCtx:
                     file=sys.stderr,
                 )
                 self._pallas_broken = True
-        return self._msm_fn(n, c, False)(points_pad, digits)
+        return self._msm_fn(m, m_bucket, c, kind, False)(pts, scalars)
 
     def _host_fold(self, window_sums, c: int = WINDOW_BITS) -> tuple | None:
         """[nw, 3, L] Montgomery projective window sums -> host affine int
@@ -798,16 +858,14 @@ class MsmCtx:
             WINDOW_BITS if kind == "digits" else pick_window_bits(n)
         )
         if kind == "ints":
-            digits = jnp.asarray(scalar_digits(scalars, c=c))
-        elif kind == "mont":
-            from .field import field_ops
-
-            digits = digits_from_mont_limbs(
-                field_ops(self.curve.fr), jnp.asarray(scalars), c=c
-            )
+            scal = jnp.asarray(scalar_digits(scalars, c=c))
+            kind = "digits"
         else:
-            digits = jnp.asarray(scalars)
-        assert digits.shape == (num_windows(c), n), (digits.shape, c, n)
+            scal = jnp.asarray(scalars)
+        if kind == "digits":
+            assert scal.shape == (num_windows(c), n), (scal.shape, c, n)
+        # 'mont' scalars go into the jitted piece raw — the digit recode
+        # runs inside the same program as the scan (one dispatch per piece)
 
         # Large MSMs run in CHUNKS of at most 2^AP_MSM_CHUNK_LOG points, the
         # per-window projective sums added across chunks on device.  Two
@@ -819,31 +877,28 @@ class MsmCtx:
         # v5e worker without this).
         chunk = 1 << int(os.environ.get("AP_MSM_CHUNK_LOG", "18"))
 
-        def run_piece(pts, digs):
-            """MSM piece over pts [m, 2, L] / digs [nw, m], m-bucketed so
-            nearby sizes share one compiled pipeline (the prover commits to
-            polynomials of n..n+3 coefficients).  Infinity rows with zero
+        def run_piece(pts, scal_piece):
+            """MSM piece over pts [m, 2, L] + scalars (mont [m, L] or
+            digits [nw, m]), m-bucketed so nearby sizes share one bucket
+            (the prover commits to polynomials of n..n+3 coefficients; see
+            _msm_fn on the per-m compile tradeoff).  Infinity rows with zero
             digits are exact no-ops for the scan (they sort to the zero-run,
             which the telescoped sum cancels)."""
             m = pts.shape[0]
             step = 1 << max(8, m.bit_length() - 5)
             m_bucket = min(-(-m // step) * step, chunk)
-            pad = m_bucket - m
-            inf_row = jnp.zeros((pad + 1, 2, self.ops.L), jnp.int32)
-            pts_pad = jnp.concatenate([pts, inf_row], axis=0)
-            if pad:
-                digs = jnp.concatenate(
-                    [digs, jnp.zeros((digs.shape[0], pad), jnp.int32)], axis=1
-                )
-            return self._run_msm_fn(m_bucket, c, pts_pad, digs)
+            return self._run_msm_fn(m, m_bucket, c, kind, pts, scal_piece)
 
         if n <= chunk:
-            window_sums = run_piece(points_affine, digits)
+            window_sums = run_piece(points_affine, scal)
         else:
             total = None
             for off in range(0, n, chunk):
                 hi = min(off + chunk, n)
-                ws = run_piece(points_affine[off:hi], digits[:, off:hi])
+                piece = (
+                    scal[off:hi] if kind == "mont" else scal[:, off:hi]
+                )
+                ws = run_piece(points_affine[off:hi], piece)
                 total = ws if total is None else self.ops.jac_add(total, ws)
             window_sums = total
         return self._host_fold(window_sums, c)

@@ -22,8 +22,8 @@ from algoplonk_tpu.ops.msm import (
     WINDOW_BITS, num_windows, window_sums_scan,
 )
 
-PHASES = ["sort", "p1", "p2", "p3", None]
-NAMES = {"sort": "sort", "p1": "phase1", "p2": "phase2", "p3": "phase3",
+PHASES = ["sort", "p1", "p2a", "p2b", "p2", "p3", None]
+NAMES = {"sort": "sort", "p1": "phase1", "p2a": "p2a", "p2b": "p2b", "p2": "phase2", "p3": "phase3",
          None: "full"}
 
 
