@@ -361,7 +361,7 @@ def window_sums_scan(
     # staged gathers (G * W1p * 176 B) and by Mosaic kernel size.
     w1 = nw * nblk
     w1p = _pad_lanes(w1)
-    fuse = int(os.environ.get("AP_MSM_FUSE_STEPS", "8"))
+    fuse = int(os.environ.get("AP_MSM_FUSE_STEPS", "16"))
 
     def fused_gather_steps(acc, packed_steps, nsteps, lanes, lanes_pad):
         """packed_steps [nsteps, ...lanes]: apply in groups of <= ``fuse``."""
