@@ -325,6 +325,43 @@ class FieldOps:
         """Canonical python ints -> Montgomery limb device array [N, L]."""
         return jnp.asarray(limbs_mod.ints_to_mont_limbs(list(values), self.fp))
 
+    def encode_bytes(self, values) -> jnp.ndarray:
+        """Canonical python ints -> Montgomery [N, L], device-side math.
+
+        The host only packs little-endian byte rows (C-speed int.to_bytes);
+        the device unpacks 12-bit limbs with static shifts and applies ONE
+        Montgomery multiply by R^2.  Vs encode(): ~3x less tunnel traffic
+        ([N, nb] uint8 instead of [N, L] int32) and none of the per-element
+        python bigint to_mont/limb-split — the round-5 2^20 prove spent
+        ~39 s/prove in those loops on the qk/wire vectors."""
+        values = list(values)
+        n = len(values)
+        nb = limbs_mod.le_bytes_needed(self.fp.nlimbs)
+        buf = b"".join(int(v).to_bytes(nb, "little") for v in values)
+        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, nb)
+        return self._unpack_mont_jit(self.fp.nlimbs, nb)(jnp.asarray(rows))
+
+    @functools.lru_cache(maxsize=4)
+    def _unpack_mont_jit(self, L: int, nb: int):
+        from ..fields.params import LIMB_BITS
+
+        def fn(rows):
+            u = rows.astype(jnp.int32)
+            cols = []
+            for k in range(L):
+                byte0, off = divmod(k * LIMB_BITS, 8)
+                lo = u[:, byte0]
+                hi = u[:, byte0 + 1] if byte0 + 1 < nb else 0
+                if off == 0:
+                    cols.append(lo | ((hi & 0xF) << 8))
+                else:  # off == 4
+                    cols.append((lo >> 4) | (hi << 4))
+            return self.to_mont(jnp.stack(cols, axis=1))
+
+        import jax
+
+        return jax.jit(fn)
+
     def decode(self, arr) -> list[int]:
         """Montgomery limb array -> canonical python ints."""
         return limbs_mod.mont_limbs_to_ints(np.asarray(arr), self.fp)

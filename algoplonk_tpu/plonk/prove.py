@@ -160,6 +160,14 @@ class Prover:
     def _enc(self, ints):
         return jnp.asarray(limbs_mod.ints_to_mont_limbs(list(ints), self.curve.fr))
 
+    def _enc_dev(self, ints):
+        """Encode for LARGE vectors: byte-pack on host, limb-unpack +
+        Montgomery multiply on device (ops/field.py encode_bytes)."""
+        ints = list(ints)
+        if len(ints) < 4096:
+            return self._enc(ints)
+        return self.f.encode_bytes(ints)
+
     def _dec1(self, limb_vec) -> int:
         return self.f.decode(np.asarray(limb_vec)[None])[0]
 
@@ -298,10 +306,12 @@ class Prover:
         committed polynomial c_i over the linking rows, KZG-commit it, and
         return hash_fr(commitment) as the commitment variable's value."""
         n, npub = self.pk.n, self.pk.nb_public
-        c_ev_ints = [0] * n
-        for row, val in zip(info.linking_rows, committed_values):
-            c_ev_ints[npub + row] = val % self.r
-        c_ev = self._enc(c_ev_ints)
+        rows = [npub + row for row in info.linking_rows]
+        c_ev = jnp.zeros((n, self.f.L), jnp.int32)
+        if rows:
+            c_ev = c_ev.at[jnp.asarray(np.asarray(rows, np.int32))].set(
+                self._enc([v % self.r for v in committed_values])
+            )
         c_c = self._intt_n(c_ev)
         com = self._commit(c_c)
         self._bsb.append({"com": com, "c_c": c_c, "info": info})
@@ -507,7 +517,7 @@ class Prover:
                 _jax.block_until_ready(x)
             return x
 
-        self._mark("r3.setup(tables)")
+        self._mark("r3.qk+tables")
         if big:
             fsp.drop_tables(inverse=True)  # forward phase first
         l4, r4, o4 = lift(l_c), lift(r_c), lift(o_c)
@@ -645,7 +655,9 @@ class Prover:
 
         # ---- round 1: wire polynomials + commitments (blinded: + b(X)*Z_H)
         l_ints, r_ints, o_ints = wire_values(self.ccs, witness, n)
-        l_ev, r_ev, o_ev = self._enc(l_ints), self._enc(r_ints), self._enc(o_ints)
+        l_ev, r_ev, o_ev = (
+            self._enc_dev(l_ints), self._enc_dev(r_ints), self._enc_dev(o_ints)
+        )
         l_c = self._blind(self._intt_n(l_ev), 2)
         r_c = self._blind(self._intt_n(r_ev), 2)
         o_c = self._blind(self._intt_n(o_ev), 2)
@@ -694,17 +706,23 @@ class Prover:
         alpha_d, alpha = self.tr.alpha(beta_d, bsb_coms, z_com)
 
         # ---- round 3: quotient on the 4n coset
-        qk_complete_ints = f.decode(pk.qk_ev)
-        for i, p_val in enumerate(pub):
-            qk_complete_ints[i] = p_val
-        # BSB22: the commitment variable's value (= hash_fr of the point)
-        # enters like a public input at the commitment constraint row
+        # qk completion ON DEVICE: only the public rows (and BSB22
+        # commitment rows — the commitment variable's value, hash_fr of the
+        # point, enters like a public input at its constraint row) differ
+        # from pk.qk_ev, so a tiny scatter replaces the full decode ->
+        # python loop -> re-encode round trip (which cost ~39 s/prove at
+        # 2^20: two 92 MB tunnel transfers + 2^20-element host bigint math)
+        upd_rows = list(range(len(pub)))
+        upd_vals = [p_val % r for p_val in pub]
         for b in bsb:
             info = b["info"]
-            qk_complete_ints[pk.nb_public + info.constraint_index] = (
-                witness.values[info.commitment_var]
-            )
-        qk_ev_complete = self._enc(qk_complete_ints)
+            upd_rows.append(pk.nb_public + info.constraint_index)
+            upd_vals.append(witness.values[info.commitment_var] % r)
+        qk_ev_complete = pk.qk_ev
+        if upd_rows:
+            qk_ev_complete = jnp.asarray(qk_ev_complete).at[
+                jnp.asarray(np.asarray(upd_rows, np.int32))
+            ].set(self._enc(upd_vals))
         qk_c_complete = self._intt_n(qk_ev_complete)
 
         if self._use_lm_quotient():

@@ -7,6 +7,13 @@ test:
 test-all:
 	python -m pytest tests/ -q -m ""
 
+# per-round validation tier (VERDICT r4 item 4): the BLS/mesh surface that
+# the default tier skips — BLS EthKZG e2e, BLS emitted execution, BSB22
+# budget variants, gnark-mode e2e, sharded MSM + ONE mesh prove.  Run and
+# record in CHANGELOG every round.
+test-mid:
+	python -m pytest tests/ -q -m mid
+
 examples:
 	MERKLE_DEPTH=4 python examples/basic/logicsig_verifier.py
 	MERKLE_DEPTH=4 python examples/merkle/logicsig_verifier.py
@@ -25,7 +32,7 @@ bench-scaling:
 
 all: test examples
 
-.PHONY: test test-all examples bench bench-kernels bench-prove bench-scaling all
+.PHONY: test test-all test-mid examples bench bench-kernels bench-prove bench-scaling all
 
 native:
 	g++ -O3 -shared -fPIC -o algoplonk_tpu/native/libapmath.so algoplonk_tpu/native/csrc/apmath.cc

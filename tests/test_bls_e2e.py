@@ -21,6 +21,7 @@ class Basic(ap.Circuit):
         )
 
 
+@pytest.mark.mid
 @pytest.mark.slow
 def test_bls12_381_ethereum_kzg_e2e():
     cc = ap.compile(

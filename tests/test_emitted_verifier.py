@@ -58,7 +58,8 @@ CONFIGS = {
 
 @pytest.fixture(
     scope="module",
-    params=["bn254", pytest.param("bls12_381", marks=pytest.mark.slow)],
+    params=["bn254", pytest.param("bls12_381",
+                              marks=[pytest.mark.slow, pytest.mark.mid])],
     ids=lambda k: k,
 )
 def proven(request):
@@ -128,6 +129,7 @@ def _check_budget(curve, variant, ncom=0):
     assert 0.85 * ref < used < 1.15 * ref, (name, variant, ncom, used, ref)
 
 
+@pytest.mark.mid
 @pytest.mark.slow  # extra prove+execute pass; BSB22 proof-layout coverage
 # stays default-tier via tests/test_bsb22.py, plain emitted execution above
 @pytest.mark.parametrize("key", ["bn254", "bls12_381"])
@@ -149,6 +151,7 @@ def test_emitted_bsb22_executes(key):
     assert mock.run_logicsig(ns, mutate(proof, len(proof) - 5), publics) is False
 
 
+@pytest.mark.mid
 @pytest.mark.slow  # two extra proves; budget parity for the 2-commitment row
 @pytest.mark.parametrize("key", ["bn254", "bls12_381"])
 def test_emitted_two_commitments_budget(key):

@@ -111,6 +111,7 @@ def test_mimc_hash_differs_by_mode(gnark_mode):
     assert h_gnark != h_native
 
 
+@pytest.mark.mid
 @pytest.mark.slow
 def test_gnark_mode_e2e_prove_verify(gnark_mode):
     """Full pipeline under gnark constants on BLS12-381 (the curve where the

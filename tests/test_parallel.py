@@ -40,6 +40,7 @@ def mesh():
     return Mesh(np.array(devs[:NDEV]), ("x",))
 
 
+@pytest.mark.mid
 @pytest.mark.slow
 def test_sharded_msm_matches_host(mesh):
     import jax.numpy as jnp
@@ -232,6 +233,7 @@ def test_sharded_coset_ntt_matches_plan(mesh):
     assert got == coeffs
 
 
+@pytest.mark.mid
 @pytest.mark.slow
 def test_sharded_prove_matches_sequential(mesh):
     """Prover with a mesh: every commit runs the sharded MSM and the NTTs
