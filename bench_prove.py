@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "20"))
 REPS = int(os.environ.get("BENCH_PROVE_REPS", "2"))
+CURVE = os.environ.get("BENCH_CURVE", "bn254")          # bn254 | bls12_381
+SETUP = os.environ.get("BENCH_SETUP", "test")           # test | ethereum
+EMIT = os.environ.get("BENCH_EMIT", "0") == "1"         # run emitted verifier
 
 
 def log(*a):
@@ -48,7 +51,13 @@ def main():
     from algoplonk_tpu.plonk.prove import Prover
     from algoplonk_tpu.plonk import verify as verify_mod
 
-    r = ap.BN254.fr.modulus
+    curve = ap.BN254 if CURVE == "bn254" else ap.BLS12_381
+    if SETUP == "ethereum":
+        setup = ap.SetupName.ETHEREUM_KZG_CEREMONY_BLS12_381
+    else:
+        setup = (ap.SetupName.TEST_ONLY_BN254 if CURVE == "bn254"
+                 else ap.SetupName.TEST_ONLY_BLS12_381)
+    r = curve.fr.modulus
     # nb_constraints = chain + 1 (final equality gate); +2 public/secret
     # rows keep NextPow2(constraints + npub) exactly 2^LOG_N
     chain = (1 << LOG_N) - 3
@@ -65,7 +74,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
-    cc = ap.compile(SquareChain, ap.BN254, ap.SetupName.TEST_ONLY_BN254)
+    cc = ap.compile(SquareChain, curve, setup)
     log(f"compile+setup: {time.perf_counter() - t0:.1f}s "
         f"(n = {cc.pk.n}, constraints = {cc.ccs.nb_constraints})")
     assert cc.pk.n == 1 << LOG_N, cc.pk.n
@@ -102,11 +111,30 @@ def main():
     log(f"native verify: {time.perf_counter() - t0:.2f}s -> {ok}")
     assert ok, "proof failed native verification"
 
+    if EMIT:
+        import io
+
+        from algoplonk_tpu.chain import algopy_mock as mock
+        from algoplonk_tpu.verifier.codegen import ContractType, write_python_code
+
+        from algoplonk_tpu.plonk.marshal import marshal_proof
+
+        blob = marshal_proof(curve, proof)
+        pibytes = wit.public_inputs_blob()
+        buf = io.StringIO()
+        write_python_code(cc.vk, ContractType.LOGIC_SIG, buf)
+        ns = mock.exec_verifier_source(buf.getvalue())
+        mock.budget.reset()
+        accepted = mock.run_logicsig(ns, blob, pibytes)
+        log(f"emitted logicsig verifier (offline mock): {accepted}, "
+            f"budget {mock.budget.consumed()}")
+        assert accepted is True
+
     best = min(times)
     print(
         json.dumps(
             {
-                "metric": f"bn254_plonk_prove_2^{LOG_N}_wall_s",
+                "metric": f"{CURVE}_plonk_prove_2^{LOG_N}_wall_s",
                 "value": round(best, 2),
                 "unit": "s",
                 "vs_baseline": round(5.0 / best, 3),
