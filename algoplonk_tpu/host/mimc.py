@@ -31,9 +31,21 @@ import hashlib
 
 from ..fields.params import CurveParams, gnark_compat_enabled
 
-ROUNDS = 110
 EXPONENT = 5
 GNARK_SEED = b"seed"
+
+
+def nb_rounds(r: int) -> int:
+    """MiMC round count, derived per field instead of hard-coded (ADVICE r4):
+    the MiMC paper's rule rounds = ceil(log_d(r)) for the x^d permutation —
+    ceil(254 / log2(5)) = 110 for BN254 and ceil(255 / log2(5)) = 110 for
+    BLS12-381, matching gnark-crypto's mimcNbRounds = 110 on both."""
+    import math
+
+    return math.ceil(r.bit_length() / math.log2(EXPONENT))
+
+
+ROUNDS = 110  # both supported curves derive to 110; kept for callers
 
 
 @functools.lru_cache(maxsize=None)
@@ -41,9 +53,10 @@ def round_constants(curve_name: str, r: int) -> tuple:
     assert r % EXPONENT != 1, "x^5 must be a permutation of Fr"
     if gnark_compat_enabled():
         return _gnark_round_constants(r)
+    rounds = nb_rounds(r)
     cs = [0]
     seed = hashlib.sha256(f"algoplonk-tpu.mimc.{curve_name}".encode()).digest()
-    for _ in range(ROUNDS - 1):
+    for _ in range(rounds - 1):
         seed = hashlib.sha256(seed).digest()
         cs.append(int.from_bytes(seed, "big") % r)
     return tuple(cs)
@@ -51,7 +64,7 @@ def round_constants(curve_name: str, r: int) -> tuple:
 
 @functools.lru_cache(maxsize=None)
 def _gnark_round_constants(r: int) -> tuple:
-    """c_i = Keccak256^(i+2)("seed") mod r, i = 0..109.
+    """c_i = Keccak256^(i+2)("seed") mod r, i = 0..rounds-1.
 
     Mirrors gnark-crypto's initConstants: one pre-hash of the seed, then each
     round constant is the Keccak of the previous digest."""
@@ -59,7 +72,7 @@ def _gnark_round_constants(r: int) -> tuple:
 
     rnd = keccak256(GNARK_SEED)  # pre-hash before use
     cs = []
-    for _ in range(ROUNDS):
+    for _ in range(nb_rounds(r)):
         rnd = keccak256(rnd)
         cs.append(int.from_bytes(rnd, "big") % r)
     return tuple(cs)

@@ -255,10 +255,16 @@ class _Adders:
         all g gathered point rows in sequence (pallas path only — callers
         keep the fori_loop formulation for XLA)."""
         g, w = packed.shape
+        L = self.ops.L
         rows = (packed & _ROW_MASK).reshape(-1)
-        flat = pts_flat[rows]                        # [g*W, 2L] row gather
-        t = flat.T.reshape(2, self.ops.L, g, w)      # [(c,l), (g,w)] split
-        pts = jnp.transpose(t, (2, 0, 1, 3)).reshape(2 * g, self.ops.L, w)
+        mode = os.environ.get("AP_MSM_STAGE", "flat")
+        if mode == "old":
+            pts3 = pts_flat[rows].reshape(g, w, 2, L)
+            pts = jnp.transpose(pts3, (0, 2, 3, 1)).reshape(2 * g, L, w)
+        else:
+            flat = pts_flat[rows]                    # [g*W, 2L] row gather
+            t = flat.T.reshape(2, L, g, w)           # [(c,l), (g,w)] split
+            pts = jnp.transpose(t, (2, 0, 1, 3)).reshape(2 * g, L, w)
         neg = ((packed >> SIGN_SHIFT) == 1).astype(jnp.int32)
         return self._mixed_signed_multi(g)(acc_lm, pts, neg)
 
@@ -329,7 +335,8 @@ def window_sums_scan(
         jnp.arange(n, dtype=jnp.int32)[None], (nw, n)
     )
     idx_bits = max(1, (n - 1).bit_length())
-    if D.bit_length() + 1 + idx_bits <= 31 and idx_bits <= SIGN_SHIFT:
+    if (D.bit_length() + 1 + idx_bits <= 31 and idx_bits <= SIGN_SHIFT
+            and os.environ.get("AP_MSM_PACKED_SORT", "1") == "1"):
         combo = (
             (mag << (idx_bits + 1))
             | ((digits < 0).astype(jnp.int32) << idx_bits)
@@ -361,7 +368,15 @@ def window_sums_scan(
     # staged gathers (G * W1p * 176 B) and by Mosaic kernel size.
     w1 = nw * nblk
     w1p = _pad_lanes(w1)
-    fuse = int(os.environ.get("AP_MSM_FUSE_STEPS", "16"))
+    # fused steps per kernel: 16 measured fastest on BN254 (L = 22).  For
+    # the wider BLS12-381 limb count the 16-step fused mixed-add kernel
+    # produced sparse data-dependent wrong lanes INSIDE the full pipeline
+    # program (deterministic per data; the isolated kernel and the staged
+    # gather both verify clean at g = 16, and g = 8 is correct everywhere
+    # — see KNOWN_ISSUES.md "BLS12-381 16-step fused kernel miscompile").
+    # Default to 8 for L > 22 until the Mosaic/XLA interaction is fixed.
+    fuse = int(os.environ.get("AP_MSM_FUSE_STEPS",
+                              "16" if ops.L <= 22 else "8"))
 
     def fused_gather_steps(acc, packed_steps, nsteps, lanes, lanes_pad):
         """packed_steps [nsteps, ...lanes]: apply in groups of <= ``fuse``."""

@@ -23,6 +23,7 @@ import numpy as np
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "17"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+CURVE = os.environ.get("BENCH_CURVE", "bn254")  # bn254 | bls12_381
 
 
 def log(*a):
@@ -62,18 +63,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
-    from algoplonk_tpu.fields.params import BN254
+    from algoplonk_tpu.fields.params import BLS12_381, BN254
     from algoplonk_tpu.ops.curve import curve_ops
     from algoplonk_tpu.ops.msm import msm_ctx, scalar_digits
 
+    curve = BN254 if CURVE == "bn254" else BLS12_381
     n = 1 << LOG_N
-    log(f"devices: {jax.devices()}  N = 2^{LOG_N} = {n}")
-    ops = curve_ops(BN254)
-    pts_np = get_points(ops, BN254, n)
+    log(f"devices: {jax.devices()}  N = 2^{LOG_N} = {n}  curve = {CURVE}")
+    ops = curve_ops(curve)
+    pts_np = get_points(ops, curve, n)
     pts = jnp.asarray(pts_np)
 
     rng = np.random.default_rng(999)
-    ctx = msm_ctx(BN254)
+    ctx = msm_ctx(curve)
 
     def run(seed):
         scalars = [
@@ -108,7 +110,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "bn254_g1_msm_points_per_sec",
+                "metric": f"{CURVE}_g1_msm_points_per_sec",
                 "value": round(pps, 1),
                 "unit": "points/s/chip",
                 "vs_baseline": round(pps / 1.0e6, 4),
