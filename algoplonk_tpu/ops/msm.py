@@ -203,8 +203,14 @@ class _Adders:
             self._jac_multi = lambda g: pallas_jac_add_multi(
                 ops.curve, _TILE, g
             )
+            # the scan kernel holds 2 x [3g, L, tile] blocks in VMEM
+            # (input steps + emitted scans, double-buffered); at L = 33 and
+            # tile 512 that exceeds the 16 MB scoped-vmem limit (measured
+            # 18.45 MB -> Mosaic OOM -> silent XLA fallback, 23x slower).
+            # Halve the tile for wide fields.
+            scan_tile = _TILE if ops.L <= 22 else _TILE // 2
             self._jac_multi_scan = lambda g: pallas_jac_add_multi_scan(
-                ops.curve, _TILE, g
+                ops.curve, scan_tile, g
             )
             self._canon = pallas_canon(ops.curve.fp, _TILE)
 

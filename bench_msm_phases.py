@@ -16,8 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from algoplonk_tpu.fields.params import BN254
+import os
+from algoplonk_tpu.fields.params import BLS12_381, BN254
 from algoplonk_tpu.ops.curve import curve_ops
+
+CURVE = BN254 if os.environ.get("BENCH_CURVE", "bn254") == "bn254" else BLS12_381
 from algoplonk_tpu.ops.msm import (
     WINDOW_BITS, num_windows, window_sums_scan,
 )
@@ -28,7 +31,7 @@ NAMES = {"sort": "sort", "p1": "phase1", "p2a": "p2a", "p2b": "p2b", "p2": "phas
 
 
 def bench(log_n: int, use_pallas: bool, reps: int = 3):
-    ops = curve_ops(BN254)
+    ops = curve_ops(CURVE)
     n = 1 << log_n
     nw = num_windows(WINDOW_BITS)
     rng = np.random.default_rng(0)
